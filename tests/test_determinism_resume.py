@@ -1,0 +1,71 @@
+"""T-DET (byte-identical rebuild) + T-RES (resume from partials) —
+SURVEY.md §5.3, BASELINE.json resumability criterion."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from web_search_engine_ray.pipelines.build import build_index
+from web_search_engine_ray.sources.transcripts import gen_transcripts
+
+N_CONVS = 60
+
+
+def _bucket_hashes(out: str) -> dict:
+    with open(os.path.join(out, "manifest.json")) as f:
+        return {b: v["sha256"] for b, v in json.load(f)["buckets"].items()}
+
+
+@pytest.fixture(scope="module")
+def det_index(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("det") / "a")
+    build_index(gen_transcripts(N_CONVS), out)
+    return out
+
+
+def test_deterministic_rebuild(det_index, tmp_path_factory):
+    """Same corpus + config -> byte-identical segments (spec A.6)."""
+    out2 = str(tmp_path_factory.mktemp("det") / "b")
+    build_index(gen_transcripts(N_CONVS), out2)
+    h1, h2 = _bucket_hashes(det_index), _bucket_hashes(out2)
+    assert h1 == h2 and len(h1) > 0
+
+
+def test_resume_from_partials(det_index, tmp_path_factory):
+    """Kill after partials checkpoint -> resume -> identical segments."""
+    out2 = str(tmp_path_factory.mktemp("res") / "c")
+    build_index(gen_transcripts(N_CONVS), out2)
+    ref_hashes = _bucket_hashes(out2)
+
+    # simulate a crash mid-merge: segments gone, manifest truncated
+    shutil.rmtree(os.path.join(out2, "segments"))
+    shutil.rmtree(os.path.join(out2, "dictionary"))
+    os.remove(os.path.join(out2, "stats.json"))
+    with open(os.path.join(out2, "manifest.json")) as f:
+        man = json.load(f)
+    for stage in ("segments", "finalize"):
+        man["stages"].pop(stage, None)
+    man["buckets"] = {}
+    with open(os.path.join(out2, "manifest.json"), "w") as f:
+        json.dump(man, f)
+
+    # resume must NOT re-read raw text: poison is impossible to assert
+    # directly, but partials stay marked done, so only merge re-runs.
+    build_index(gen_transcripts(N_CONVS), out2, resume=True)
+    assert _bucket_hashes(out2) == ref_hashes
+    assert os.path.exists(os.path.join(out2, "stats.json"))
+
+
+def test_resume_config_change_rebuilds(det_index, tmp_path_factory):
+    """A config change invalidates the manifest (config_hash mismatch)."""
+    from web_search_engine_ray.spec import EngineConfig
+    out2 = str(tmp_path_factory.mktemp("res") / "d")
+    build_index(gen_transcripts(N_CONVS), out2)
+    cfg2 = EngineConfig(num_buckets=16)
+    build_index(gen_transcripts(N_CONVS), out2, cfg2, resume=True)
+    with open(os.path.join(out2, "manifest.json")) as f:
+        man = json.load(f)
+    assert man["config_hash"] == cfg2.config_hash()
+    assert len(man["buckets"]) <= 16

@@ -1,0 +1,115 @@
+"""End-to-end build + query on the tiny fixture corpus (SURVEY.md §5.3):
+T-INV (text invariant), T-E2E (rank identity vs oracles), T-SKEW.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from web_search_engine_ray.pipelines.query import run_queries
+from web_search_engine_ray.sources.transcripts import (
+    HOT_TERMS, gen_queries, gen_transcripts_table)
+from web_search_engine_ray.stages.scorer import (
+    IndexReader, OracleScorer, exhaustive_topk)
+
+
+def test_doc_table_invariant(tiny_index, tiny_corpus_table):
+    """T-INV: per-turn text byte-equality under stable (conv_id, turn_idx)
+    ordering (BASELINE.json input_hint invariant)."""
+    out, stats = tiny_index
+    dt = pq.read_table(f"{out}/doc_table").to_pandas().sort_values("doc_id")
+    src = tiny_corpus_table.to_pandas()
+    assert len(dt) == len(src) == stats["n_docs"]
+    # doc_id ordering == (conv_id, turn_idx) ordering, dense
+    assert (dt["doc_id"].to_numpy() == np.arange(len(dt))).all()
+    merged = dt.merge(src, on=["conv_id", "turn_idx"], suffixes=("", "_src"))
+    assert len(merged) == len(src)
+    assert (merged["text"] == merged["text_src"]).all()       # byte equality
+    assert (merged["doc_id"] == merged["doc_id_src"]).all()   # same enumeration
+    assert (merged["ts"] == merged["ts_src"]).all()
+
+
+def test_dictionary_df_cf(tiny_index, tiny_corpus_table):
+    """Dictionary df/cf match a naive recount (G2/G5)."""
+    out, _ = tiny_index
+    from collections import Counter
+
+    from web_search_engine_ray.spec import tokenize
+    df, cf = Counter(), Counter()
+    for text in tiny_corpus_table.column("text").to_pylist():
+        toks = tokenize(text)
+        cf.update(toks)
+        df.update(set(toks))
+    d = pq.read_table(f"{out}/dictionary").to_pandas()
+    assert len(d) == len(df)
+    for term, ddf, dcf in zip(d["term"], d["df"], d["cf"]):
+        assert df[term] == ddf, term
+        assert cf[term] == dcf, term
+
+
+def test_rank_identity_full_query_set(tiny_index, tiny_corpus_table):
+    """T-E2E + conformance 5.2: WAND == exhaustive == in-memory oracle on
+    all 100 reference queries, exact doc_id sequence, bit-equal scores."""
+    out, _ = tiny_index
+    res = run_queries(out, gen_queries(), k=10, mode="wand")
+    orc = OracleScorer(tiny_corpus_table.select(["doc_id", "text"]))
+    reader = IndexReader(out)
+    q = gen_queries()
+    qid_col = res.column("query_id").to_numpy()
+    for qid, query in zip(q.column("query_id").to_pylist(),
+                          q.column("query").to_pylist()):
+        od, osc = orc.topk(query, 10)
+        mask = qid_col == qid
+        assert res.column("doc_id").to_numpy()[mask].tolist() == od, query
+        assert np.array_equal(res.column("score").to_numpy()[mask],
+                              np.array(osc)), query
+        xd, xs = exhaustive_topk(reader, query, 10)
+        assert xd.tolist() == od and np.array_equal(xs, np.array(osc)), query
+
+
+def test_skew_salting_taken(tiny_index):
+    """T-SKEW: planted hot terms were detected and doc-range salted."""
+    out, stats = tiny_index
+    import json
+    with open(f"{out}/manifest.json") as f:
+        man = json.load(f)
+    hot = set(man["stages"]["hot_terms"]["hot_terms"])
+    assert set(HOT_TERMS) <= hot
+    # hot terms still have correct postings: df == n after splicing
+    d = pq.read_table(f"{out}/dictionary").to_pandas().set_index("term")
+    n_docs = stats["n_docs"]
+    for t in HOT_TERMS:
+        assert d.loc[t, "df"] > 0.8 * n_docs  # stopword-like by construction
+
+
+def test_adversarial_queries(tiny_index, tiny_corpus_table):
+    out, _ = tiny_index
+    reader = IndexReader(out)
+    orc = OracleScorer(tiny_corpus_table.select(["doc_id", "text"]))
+    from web_search_engine_ray.stages.scorer import wand_topk
+    cases = [
+        "",                       # empty query
+        "zzz unknownterm",        # only unseen terms
+        "t0000 t0001 t0002",      # hot-only
+        "alpha beta gamma",       # pure tie-break (planted identical docs)
+        "t4999",                  # rare tail term, likely k > matches
+        "t0000 t0000 t0000",      # duplicate query terms
+    ]
+    for query in cases:
+        od, osc = orc.topk(query, 10)
+        wd, ws = wand_topk(reader, query, 10)
+        assert wd.tolist() == od, query
+        assert np.array_equal(ws, np.array(osc)), query
+
+
+def test_tie_break_order(tiny_index, tiny_corpus_table):
+    """Equal-score docs must rank by ascending doc_id (spec A.5)."""
+    out, _ = tiny_index
+    reader = IndexReader(out)
+    from web_search_engine_ray.stages.scorer import wand_topk
+    docs, scores = wand_topk(reader, "alpha beta gamma", 10)
+    assert len(docs) > 1
+    for i in range(len(docs) - 1):
+        if scores[i] == scores[i + 1]:
+            assert docs[i] < docs[i + 1]
+        else:
+            assert scores[i] > scores[i + 1]

@@ -1,0 +1,181 @@
+"""E1 — build_index: the flagship pipeline (SURVEY.md §3).
+
+    read -> validate -> docID (conv prefix sums) -> doc_table ->
+    stats -> hot terms -> partial postings (A1 actor pool) ->
+    [checkpoint partials] -> groupby merge+encode -> per-bucket
+    segment/dictionary files + stats/manifest sidecars.
+
+Every stage streams through Ray Data; the only driver-side
+materializations are the conversation table (offsets), the hot-term
+sample, and per-bucket manifest rows.  Stage boundaries are parquet
+checkpoints recorded in the manifest — a resumed build skips completed
+stages (T-RES, SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from web_search_engine_ray.spec import DEFAULT_CONFIG, EngineConfig
+from web_search_engine_ray.sources.transcripts import read_transcripts
+from web_search_engine_ray.stages.indexer import (
+    PartitionIndexer, conversation_offsets, detect_hot_terms,
+    doc_table_batch, make_assign_doc_ids)
+from web_search_engine_ray.stages.encoder import FinalizeBucket, encode_group
+from web_search_engine_ray.state.manifest import Manifest, write_stats
+
+DOC_TABLE_DIR = "doc_table"
+PARTIALS_DIR = "partials"
+SEGMENTS_DIR = "segments"
+DICT_DIR = "dictionary"
+
+
+def transcripts_to_corpus(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Assign deterministic dense doc_id (O1/O2) to a transcripts Dataset.
+
+    One small conv-level groupby instead of a full-data sort shuffle —
+    see conversation_offsets for why this is equivalent.
+    """
+    offsets, _n = conversation_offsets(ds)
+    offsets_ref = ray.put(offsets)
+    return ds.map_batches(make_assign_doc_ids(offsets_ref),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
+                cfg: EngineConfig = DEFAULT_CONFIG, *,
+                input_kind: str = "transcripts",
+                resume: bool = False) -> dict:
+    """Build the inverted index at ``out_dir``.
+
+    corpus: path to transcript parquet (input_kind="transcripts"),
+    path to a (doc_id, text, ...) parquet (input_kind="corpus"), or a
+    Dataset already carrying doc_id + text.
+    Returns the stats dict (T5).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    man = Manifest.load_or_create(out_dir, cfg.config_hash(), resume)
+
+    # One lazy Dataset, consumed by several stages — conv offsets are
+    # computed once (memoized; skipped entirely when resuming past the
+    # text-consuming stages); re-execution only re-runs cheap read+assign.
+    _cache: list = []
+
+    def corpus_ds() -> "ray.data.Dataset":
+        if not _cache:
+            ds = read_transcripts(corpus) if isinstance(corpus, str) else corpus
+            if input_kind == "transcripts":
+                ds = transcripts_to_corpus(ds)
+            _cache.append(ds)
+        return _cache[0]
+
+    # -- stage: doc_table -------------------------------------------------
+    doc_dir = os.path.join(out_dir, DOC_TABLE_DIR)
+    if not man.done("doc_table"):
+        _clean(doc_dir)
+        corpus_ds().map_batches(
+            doc_table_batch, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.tokenize_batch_size,
+        ).write_parquet(doc_dir)
+        man.mark_done("doc_table")
+
+    # -- stage: stats (from the doc_table checkpoint — column-pruned) -----
+    if not man.done("stats"):
+        from ray.data.aggregate import Count, Max, Min, Sum
+        agg = ray.data.read_parquet(doc_dir, columns=["doc_id", "doc_len"]) \
+            .aggregate(Count(), Sum("doc_len"), Min("doc_len"), Max("doc_id"))
+        n_docs = int(agg["count()"])
+        total_tokens = int(agg["sum(doc_len)"] or 0)
+        stats = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            "dl_min": max(1, int(agg["min(doc_len)"] or 1)),
+            "max_doc_id": int(agg["max(doc_id)"] or -1),
+            "num_buckets": cfg.num_buckets,
+            "salt_s": cfg.salt_s,
+            "block_size": cfg.block_size,
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "config_hash": cfg.config_hash(),
+        }
+        man.mark_done("stats", **stats)
+    stats = {k: v for k, v in man.data["stages"]["stats"].items() if k != "done"}
+    n_docs = stats["n_docs"]
+
+    # -- stage: hot terms (G6) --------------------------------------------
+    if not man.done("hot_terms"):
+        hot = sorted(detect_hot_terms(corpus_ds(), cfg, n_docs))
+        man.mark_done("hot_terms", hot_terms=hot)
+    hot_terms = set(man.data["stages"]["hot_terms"]["hot_terms"])
+
+    # -- stage: partial postings (A1) + checkpoint ------------------------
+    partials_dir = os.path.join(out_dir, PARTIALS_DIR)
+    hot_ref = ray.put(hot_terms)
+    if not man.done("partials"):
+        partials = corpus_ds().select_columns(["doc_id", "text"]).map_batches(
+            PartitionIndexer,
+            fn_constructor_args=(hot_ref, cfg.num_buckets, cfg.salt_s,
+                                 max(1, stats["max_doc_id"] + 1)),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.tokenize_batch_size,
+            concurrency=_actor_concurrency(),
+        )
+        if cfg.checkpoint_partials:
+            _clean(partials_dir)
+            partials.write_parquet(partials_dir)
+            man.mark_done("partials", checkpointed=True)
+        else:
+            # no checkpoint: merge consumes the live stream (still correct,
+            # just not resumable mid-shuffle)
+            build_index._live_partials = partials  # type: ignore[attr-defined]
+            man.mark_done("partials", checkpointed=False)
+
+    # -- stage: merge + encode + write segments (G3/A2/S3) ----------------
+    if not man.done("segments"):
+        if man.data["stages"]["partials"].get("checkpointed", True):
+            partials_ds = ray.data.read_parquet(partials_dir)
+        else:
+            partials_ds = build_index._live_partials  # type: ignore[attr-defined]
+        completed = {int(b) for b in man.data.get("buckets", {})}
+        if completed:
+            partials_ds = partials_ds.filter(
+                lambda r: r["bucket"] not in completed)
+        seg_dir = os.path.join(out_dir, SEGMENTS_DIR)
+        dict_dir = os.path.join(out_dir, DICT_DIR)
+        if not completed:  # fresh merge: drop any stale bucket files
+            _clean(seg_dir)
+            _clean(dict_dir)
+        bucket_rows = (
+            partials_ds
+            .groupby(["bucket", "salt"])
+            .map_groups(encode_group, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(FinalizeBucket, fn_constructor_args=(seg_dir, dict_dir),
+                        batch_format="pyarrow", concurrency=_actor_concurrency())
+            .take_all()
+        )
+        man.record_buckets(bucket_rows)
+        man.mark_done("segments", n_buckets=len(man.data["buckets"]))
+
+    # -- stage: finalize sidecars ----------------------------------------
+    if not man.done("finalize"):
+        write_stats(out_dir, stats)
+        man.mark_done("finalize")
+    return stats
+
+
+def _actor_concurrency() -> tuple[int, int]:
+    n = max(1, int(ray.cluster_resources().get("CPU", 4)))
+    return (1, n)
+
+
+def _clean(path: str) -> None:
+    if os.path.exists(path):
+        shutil.rmtree(path)

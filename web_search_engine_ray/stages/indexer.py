@@ -1,0 +1,158 @@
+"""Indexing stages: docID assignment (O1/O2), doc_table (M2/M3),
+partial-posting emission (A1), hot-term detection (G6).
+
+A1 is a callable class run as an actor pool via
+``map_batches(PartitionIndexer, concurrency=..., batch_format="pyarrow")``
+— stateful per BASELINE.json:15: the hot-term set and the term→bucket
+hash cache are built once per actor in ``__init__``, not per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from web_search_engine_ray.functions.tokenize import batch_postings, doc_lengths
+from web_search_engine_ray.spec import EngineConfig, term_bucket
+
+
+# --- O1/O2: deterministic dense doc_id ----------------------------------
+
+
+def conversation_offsets(ds: "ray.data.Dataset") -> tuple[dict[str, int], int]:
+    """Per-conversation docID offsets via conv-level prefix sums.
+
+    Valid because turn_idx is dense 0..n-1 per conversation (validated
+    here — SURVEY.md A.3): sorting the *conversation* table bytewise by
+    conv_id and prefix-summing turn counts yields exactly the global
+    (conv_id asc, turn_idx asc) dense enumeration, without a full-data
+    sort shuffle.  Scale note: at 10^12 turns the conversation table is
+    ~10^10 rows; the driver-side cumsum below becomes a hierarchical
+    (per-range) prefix sum over the sorted conv table — same semantics.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    conv = ds.groupby("conv_id").aggregate(
+        Count(), Max("turn_idx"), Min("turn_idx")).to_pandas()
+    n_turns = conv["count()"].to_numpy()
+    mx = conv["max(turn_idx)"].to_numpy()
+    mn = conv["min(turn_idx)"].to_numpy()
+    if not ((mn == 0).all() and (mx == n_turns - 1).all()):
+        bad = conv[(mn != 0) | (mx != n_turns - 1)]["conv_id"].iloc[0]
+        raise ValueError(
+            f"turn_idx not dense 0..n-1 for conv_id={bad!r}; "
+            "dedup/repair input before indexing (SURVEY.md D1)")
+    order = np.argsort(conv["conv_id"].to_numpy(), kind="stable")
+    conv_sorted = conv["conv_id"].to_numpy()[order]
+    sizes = n_turns[order]
+    offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    return dict(zip(conv_sorted.tolist(), offsets.tolist())), int(sizes.sum())
+
+
+def make_assign_doc_ids(offsets_ref):
+    """map_batches fn adding doc_id = conv_offset[conv_id] + turn_idx."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        offsets = ray.get(offsets_ref) if isinstance(offsets_ref, ray.ObjectRef) \
+            else offsets_ref
+        conv = batch.column("conv_id").to_pandas()
+        base = conv.map(offsets).to_numpy(dtype=np.int64)
+        doc_id = base + batch.column("turn_idx").to_numpy().astype(np.int64)
+        return batch.append_column("doc_id", pa.array(doc_id, pa.int64()))
+
+    return assign
+
+
+# --- doc_table (T2) ------------------------------------------------------
+
+
+def doc_table_batch(batch: pa.Table) -> pa.Table:
+    """Attach doc_len; preserve text bytes untouched upstream (M1 invariant:
+    text is never mutated — doc_len is a derived column)."""
+    texts = batch.column("text").to_pylist()
+    dl = doc_lengths(texts)
+    return batch.append_column("doc_len", pa.array(dl, pa.int64()))
+
+
+# --- G6: hot-term detection ---------------------------------------------
+
+
+def detect_hot_terms(corpus_ds: "ray.data.Dataset", cfg: EngineConfig,
+                     n_docs: int) -> set[str]:
+    """Deterministic sample df: docs with doc_id < sample_n (stable under
+    any block order).  Terms with sample-df/sample_n > hot_df_ratio are
+    'hot' and get doc-range salted in the merge (SURVEY.md §4.3)."""
+    sample_n = min(cfg.hot_sample_docs, n_docs)
+    if sample_n == 0:
+        return set()
+    from web_search_engine_ray.spec import TOKEN_RE
+    sample = corpus_ds.filter(
+        expr=f"doc_id < {sample_n}").select_columns(["doc_id", "text"])
+    df_counts: dict[str, int] = {}
+    for batch in sample.iter_batches(batch_format="pyarrow", batch_size=4096):
+        for text in batch.column("text").to_pylist():
+            for t in set(TOKEN_RE.findall(text.lower())):
+                df_counts[t] = df_counts.get(t, 0) + 1
+    threshold = cfg.hot_df_ratio * sample_n
+    return {t for t, c in df_counts.items() if c > threshold}
+
+
+# --- A1: partial-posting emitter (actor pool) ---------------------------
+
+
+class PartitionIndexer:
+    """Tokenize turns -> partial postings (doc_id, term, tf, bucket, salt).
+
+    State held per actor (built once in __init__): hot-term set, salt
+    range size, term→bucket cache.  Emits per-batch partials; the true
+    combine is the groupby merge (SURVEY.md §2.3 note).
+    """
+
+    def __init__(self, hot_terms_ref, num_buckets: int, salt_s: int, n_docs: int):
+        self.hot = (ray.get(hot_terms_ref)
+                    if isinstance(hot_terms_ref, ray.ObjectRef) else hot_terms_ref)
+        self.num_buckets = num_buckets
+        self.salt_s = max(1, salt_s)
+        self.n_docs = max(1, n_docs)
+        self._bucket_cache: dict[str, int] = {}
+
+    def _buckets_for(self, uniques: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        cache = self._bucket_cache
+        bk = np.empty(len(uniques), dtype=np.int32)
+        hot = np.zeros(len(uniques), dtype=bool)
+        for i, t in enumerate(uniques):
+            b = cache.get(t)
+            if b is None:
+                b = term_bucket(t, self.num_buckets)
+                cache[t] = b
+            bk[i] = b
+            hot[i] = t in self.hot
+        return bk, hot
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, terms, tfs, _dls = batch_postings(
+            batch.column("doc_id").to_numpy(), batch.column("text").to_pylist())
+        if len(doc_ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32()),
+                             "salt": pa.array([], pa.int32())})
+        codes, uniques = pd.factorize(np.asarray(terms, dtype=object))
+        ubk, uhot = self._buckets_for(uniques)
+        buckets = ubk[codes]
+        salts = np.zeros(len(doc_ids), dtype=np.int32)
+        hot_rows = uhot[codes]
+        if hot_rows.any():
+            salts[hot_rows] = (doc_ids[hot_rows] * self.salt_s
+                               // self.n_docs).astype(np.int32)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "bucket": pa.array(buckets, pa.int32()),
+            "salt": pa.array(salts, pa.int32()),
+        })
