@@ -1,0 +1,167 @@
+"""Training-data ops: dedup family, knn, text analysis, media plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from web_search_engine_ray.functions import textproc as tp
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(tmp_path_factory):
+    """Corpus with planted exact + near duplicates."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight looking for food")
+    texts = []
+    for i in range(40):
+        texts.append(f"unique document number {i} about topic {i * 7} "
+                     f"with some filler words alpha beta {i}")
+    texts.append(base)                          # 40
+    texts.append(base)                          # 41 exact dup of 40
+    texts.append(base.replace("tonight", "today"))      # 42 near dup
+    texts.append(base.replace("quick", "slow") + " ok")  # 43 near dup
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    path = str(tmp_path_factory.mktemp("dup") / "docs.parquet")
+    import pyarrow.parquet as pq
+    pq.write_table(tbl, path)
+    return tbl, path
+
+
+def test_exact_dedup(ray_session, dup_corpus):
+    from web_search_engine_ray.pipelines.analysis import exact_dedup
+    tbl, path = dup_corpus
+    out = exact_dedup(ray.data.from_arrow(tbl)).to_pandas()
+    assert len(out) == tbl.num_rows - 1          # one exact dup collapsed
+    kept = out.set_index("doc_id")["n_copies"]
+    assert kept[40] == 2 and 41 not in kept.index
+
+
+def test_minhash_near_dup(ray_session, dup_corpus):
+    from web_search_engine_ray.pipelines.analysis import near_dup_pairs
+    tbl, path = dup_corpus
+    pairs = near_dup_pairs(ray.data.from_arrow(tbl), path, threshold=0.5) \
+        .to_pandas()
+    got = set(zip(pairs["doc_id_a"], pairs["doc_id_b"]))
+    assert (40, 41) in got                       # exact dup -> jaccard 1.0
+    assert (40, 42) in got and (41, 42) in got   # near dup found via LSH
+    # unrelated docs never pair
+    assert all(a >= 40 and b >= 40 for a, b in got)
+
+
+def test_exact_jaccard_bounds():
+    assert tp.exact_jaccard("a b c d e", "a b c d e") == 1.0
+    assert tp.exact_jaccard("a b c d e", "x y z w v") == 0.0
+
+
+def test_simhash_near_dup(ray_session, dup_corpus):
+    from web_search_engine_ray.pipelines.analysis import simhash_pairs
+    tbl, path = dup_corpus
+    pairs = simhash_pairs(ray.data.from_arrow(tbl), max_hamming=6).to_pandas()
+    got = set(zip(pairs["doc_id_a"], pairs["doc_id_b"]))
+    assert (40, 41) in got                       # identical -> hamming 0
+    ham = dict(zip(zip(pairs["doc_id_a"], pairs["doc_id_b"]), pairs["hamming"]))
+    assert ham[(40, 41)] == 0
+
+
+def test_simhash_deterministic():
+    t = "some stable text for hashing determinism"
+    assert tp.simhash64(t) == tp.simhash64(t)
+    assert tp.hamming64(tp.simhash64(t), tp.simhash64(t)) == 0
+    near = tp.simhash64(t.replace("stable", "stably"))
+    assert tp.hamming64(tp.simhash64(t), near) <= 16
+
+
+def test_minhash_est_accuracy():
+    h = tp.FastMinHasher(256)
+    a = tp.shingle_hashes(" ".join(f"w{i}" for i in range(100)), 3)
+    b = tp.shingle_hashes(" ".join(f"w{i}" for i in range(50, 150)), 3)
+    true_j = len(set(a.tolist()) & set(b.tolist())) / len(set(a.tolist()) | set(b.tolist()))
+    est = tp.est_jaccard(h.signature(a), h.signature(b))
+    assert abs(true_j - est) < 0.12
+
+
+def test_lang_id():
+    en = "the cat is on the mat and it was not happy with that"
+    de = "der hund ist nicht in dem haus und das ist auch gut so"
+    fr = "le chat est dans la maison et il ne veut pas sortir pour vous"
+    assert tp.lang_id(en)[0] == "en"
+    assert tp.lang_id(de)[0] == "de"
+    assert tp.lang_id(fr)[0] == "fr"
+    assert tp.lang_id("")[0] == "und"
+
+
+def test_quality_features():
+    nt, nc, sr, pr, mt = tp.quality_features("The cat, the dog!")
+    assert nt == 4 and nc == 17
+    assert sr == 0.5          # "the" twice out of 4 tokens
+    assert pr == 2 / 17
+
+
+def test_knn_bruteforce_vs_numpy(ray_session):
+    rng = np.random.default_rng(3)
+    n, d = 300, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([row.tolist() for row in mat],
+                                          pa.list_(pa.float32()))})
+    from web_search_engine_ray.pipelines.knn import _normalize, knn_bruteforce
+    q = mat[:3].astype(np.float64)
+    res = knn_bruteforce(ray.data.from_arrow(tbl), [0, 1, 2], q, k=5).to_pandas()
+    # numpy reference
+    nm = _normalize(mat.astype(np.float64))
+    nq = _normalize(q)
+    sims = nm @ nq.T
+    for qi in range(3):
+        want = np.lexsort((np.arange(n), -sims[:, qi]))[:5]
+        got = res[res["query_id"] == qi]["vec_id"].to_numpy()
+        assert (got == want).all()
+        assert res[res["query_id"] == qi]["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_knn_ivf_recall(ray_session):
+    rng = np.random.default_rng(5)
+    n, d = 400, 8
+    centers = rng.normal(size=(8, d)) * 4
+    mat = (centers[rng.integers(0, 8, size=n)]
+           + rng.normal(size=(n, d))).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in mat],
+                                          pa.list_(pa.float32()))})
+    from web_search_engine_ray.pipelines.knn import knn_bruteforce, knn_ivf
+    q = mat[:2].astype(np.float64)
+    ds = ray.data.from_arrow(tbl)
+    exact = knn_bruteforce(ds, [0, 1], q, k=10).to_pandas()
+    approx = knn_ivf(ds, [0, 1], q, k=10, n_centroids=8, nprobe=4).to_pandas()
+    recalls = []
+    for qi in (0, 1):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6  # probing half the clustered space
+
+
+def test_media_plumbing(ray_session):
+    from web_search_engine_ray.stages.media import (FakeDecoder,
+                                                    MediaFeatureStage)
+    payloads = [bytes([i]) * (10 + i) for i in range(20)]
+    tbl = pa.table({
+        "media_id": pa.array(range(20), pa.int64()),
+        "kind": pa.array(["image"] * 10 + ["video"] * 10, pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "mime": pa.array(["x"] * 20, pa.string())})
+    out = ray.data.from_arrow(tbl).map_batches(
+        MediaFeatureStage, batch_format="pyarrow", batch_size=4,
+        concurrency=2).to_pandas().sort_values("media_id")
+    assert len(out) == 20
+    assert (out[out["kind"] == "image"]["n_frames"] == 1).all()
+    # deterministic: same payload -> same features
+    w, h, nf, fv = FakeDecoder().decode(payloads[0], "image")
+    assert out.iloc[0]["width"] == w and out.iloc[0]["height"] == h
+
+    # real decoders are gated, not silently fake
+    import pytest as _pytest
+    from web_search_engine_ray.stages.media import ImageDecoder
+    with _pytest.raises(NotImplementedError):
+        ImageDecoder().decode(b"x", "image")

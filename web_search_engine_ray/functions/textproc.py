@@ -1,0 +1,179 @@
+"""Text-analysis kernels for training-data pipelines: fingerprinting,
+quality scoring, language ID, shingles/minhash/simhash.
+
+All hashing is process-independent (crc32 / sha1 — never Python
+``hash()``, spec A.6), so every pipeline built on these is deterministic
+across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+
+from web_search_engine_ray.spec import derive_seed, tokenize
+
+# --- fingerprint / exact dedup ------------------------------------------
+
+
+def text_md5(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+# --- quality scoring -----------------------------------------------------
+
+STOPWORDS = frozenset(
+    "a an and are as at be by for from has he in is it its of on that the "
+    "to was were will with".split())
+
+_PUNCT = frozenset(".,;:!?'\"()[]{}-")
+
+
+def quality_features(text: str) -> tuple[int, int, float, float, float]:
+    """(n_tokens, n_chars, stopword_ratio, punct_ratio, mean_token_len).
+
+    Ratios are plain float64 divisions; the DuckDB oracle reproduces
+    n_tokens/stopword_ratio/n_chars exactly (same tokenizer regex).
+    """
+    toks = tokenize(text)
+    n_tokens = len(toks)
+    n_chars = len(text)
+    n_stop = sum(1 for t in toks if t in STOPWORDS)
+    n_punct = sum(1 for ch in text if ch in _PUNCT)
+    stop_ratio = n_stop / n_tokens if n_tokens else 0.0
+    punct_ratio = n_punct / n_chars if n_chars else 0.0
+    mean_tok = (sum(len(t) for t in toks) / n_tokens) if n_tokens else 0.0
+    return n_tokens, n_chars, stop_ratio, punct_ratio, mean_tok
+
+
+# --- language ID (n-gram/stopword heuristic) ----------------------------
+
+LANG_PROFILES: dict[str, frozenset] = {
+    "en": frozenset("the and is of to in that it for was with as his on be "
+                    "at by had not are but from or have an they which".split()),
+    "de": frozenset("der die und das ist nicht ein zu mit den von auf für "
+                    "im des sich dem war als auch es an werden aus er".split()),
+    "fr": frozenset("le la les et des en un une du dans est pour qui que "
+                    "sur pas plus par avec au il ne se ce vous".split()),
+    "es": frozenset("el la los las de en y que un una es por con no para "
+                    "se del al lo como más pero sus le ha o este".split()),
+    "it": frozenset("il la di e che un una in per è non sono con si da "
+                    "come le dei più anche lo ma se questo della".split()),
+}
+
+
+def lang_id(text: str) -> tuple[str, float]:
+    """Heuristic language ID: argmax stopword-hit-rate over profiles.
+    Returns (lang, confidence); 'und' when nothing matches."""
+    toks = tokenize(text)
+    if not toks:
+        return "und", 0.0
+    best_lang, best = "und", 0
+    for lang in sorted(LANG_PROFILES):  # sorted -> deterministic tie-break
+        hits = sum(1 for t in toks if t in LANG_PROFILES[lang])
+        if hits > best:
+            best_lang, best = lang, hits
+    return best_lang, best / len(toks)
+
+
+# --- shingles + MinHash + SimHash ---------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct k-word shingles as stable 64-bit crc-based hashes."""
+    toks = tokenize(text)
+    if len(toks) < k:
+        joined = " ".join(toks)
+        return (np.array([zlib.crc32(joined.encode())], dtype=np.uint64)
+                if toks else np.empty(0, dtype=np.uint64))
+    seen = {zlib.crc32(" ".join(toks[i:i + k]).encode())
+            for i in range(len(toks) - k + 1)}
+    return np.fromiter(seen, dtype=np.uint64, count=len(seen))
+
+
+class MinHasher:
+    """n_perm universal-hash permutations h_i(x) = (a_i x + b_i) mod p.
+    Coefficients derived from a pinned seed (deterministic everywhere)."""
+
+    def __init__(self, n_perm: int = 128, seed: int = 1337):
+        g = np.random.Generator(np.random.PCG64(derive_seed(seed, "minhash")))
+        self.a = (g.integers(1, _MERSENNE, size=n_perm, dtype=np.int64)
+                  .astype(np.uint64))
+        self.b = (g.integers(0, _MERSENNE, size=n_perm, dtype=np.int64)
+                  .astype(np.uint64))
+        self.n_perm = n_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        """uint64[n_perm] minhash signature of a shingle-hash set."""
+        if len(shingles) == 0:
+            return np.full(self.n_perm, np.uint64(_MERSENNE), dtype=np.uint64)
+        # (n_perm, n_shingles) — modular arithmetic in uint64 via python-int
+        # free, wraparound-safe formulation: use object-free numpy in 128-bit
+        # chunks is overkill; p < 2^61 and a,x < 2^61 overflow uint64, so
+        # compute in two 32-bit halves.
+        x = shingles % np.uint64(_MERSENNE)
+        out = np.empty(self.n_perm, dtype=np.uint64)
+        for i in range(self.n_perm):
+            prod = (int(self.a[i]) * x.astype(object)) % _MERSENNE  # exact
+            vals = (prod + int(self.b[i])) % _MERSENNE
+            out[i] = np.uint64(min(vals))
+        return out
+
+
+class FastMinHasher(MinHasher):
+    """Vectorized variant: hashes with multiply-shift in native uint64
+    (wraparound multiply is a legitimate universal-ish hash family)."""
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.n_perm, np.uint64(0xFFFFFFFFFFFFFFFF),
+                           dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            m = self.a[:, None] * shingles[None, :] + self.b[:, None]
+        return m.min(axis=1)
+
+
+def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> list[str]:
+    """LSH band keys: md5 of each band's bytes (rows = n_perm/n_bands)."""
+    rows = len(sig) // n_bands
+    return [hashlib.md5(sig[b * rows:(b + 1) * rows].tobytes()).hexdigest()
+            for b in range(n_bands)]
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    a = set(shingle_hashes(text_a, k).tolist())
+    b = set(shingle_hashes(text_b, k).tolist())
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over tokens weighted by tf (crc-based token hashes)."""
+    toks = tokenize(text)
+    if not toks:
+        return 0
+    from collections import Counter
+    acc = np.zeros(64, dtype=np.int64)
+    for tok, tf in Counter(toks).items():
+        h = (np.uint64(zlib.crc32(tok.encode())) << np.uint64(32)) | \
+            np.uint64(zlib.crc32((tok + "#").encode()))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits == 1, tf, -tf)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -1,0 +1,146 @@
+"""Similarity search over an embedding column (list<float>):
+brute-force cosine top-k (baseline) and an IVF-bucketed variant (the
+scale path).
+
+Brute force: the query matrix is broadcast once (``ray.put``) and every
+batch does one numpy matmul; per-batch partial top-k rows are reduced by
+a tiny per-query group merge — the corpus itself is never shuffled or
+materialized.  IVF: deterministic seeded centroids, one assignment pass
+(groupby centroid), queries probe the nearest ``nprobe`` centroid
+buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from web_search_engine_ray.spec import derive_seed
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceScorer:
+    """Actor-pool stage: per batch, cosine vs the broadcast query matrix,
+    emit per-batch top-k partials (query_id, vec_id, sim)."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) \
+            else queries_ref
+        self.qids = q["query_id"]
+        self.qmat = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch.column("vec_id").to_numpy()
+        m = _normalize(_batch_matrix(batch))
+        sims = m @ self.qmat.T                      # (n_vecs, n_queries)
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            idx = np.argpartition(-col, k - 1)[:k] if k < len(col) else \
+                np.arange(len(col))
+            order = idx[np.lexsort((vec_ids[idx], -col[idx]))]
+            out_q.append(np.full(len(order), self.qids[qi], dtype=np.int64))
+            out_v.append(vec_ids[order])
+            out_s.append(col[order])
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "vec_id": np.concatenate(out_v),
+                         "sim": np.concatenate(out_s)})
+
+
+def _merge_topk_factory(k: int):
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        v = group.column("vec_id").to_numpy()
+        s = group.column("sim").to_numpy()
+        order = np.lexsort((v, -s))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+            "vec_id": pa.array(v[order]),
+            "sim": pa.array(np.round(s[order], 6)),
+        })
+    return merge
+
+
+def knn_bruteforce(embeddings: "ray.data.Dataset", query_ids: list[int],
+                   query_matrix: np.ndarray, k: int = 10) -> pa.Table:
+    """Exact cosine top-k for each query vector; ties break by vec_id."""
+    ref = ray.put({"query_id": np.asarray(query_ids, dtype=np.int64),
+                   "matrix": query_matrix})
+    partials = embeddings.map_batches(
+        BruteForceScorer, fn_constructor_args=(ref, k),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=4096,
+        concurrency=(1, 8))
+    merged = partials.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pyarrow")
+    batches = list(merged.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(batches) if batches else pa.table(
+        {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int32()),
+         "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+    return tbl.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+# --- IVF (scale path) ----------------------------------------------------
+
+
+def ivf_centroids(embeddings: "ray.data.Dataset", n_centroids: int,
+                  seed: int = 7) -> np.ndarray:
+    """Deterministic centroids: the embedding rows whose vec_id equals a
+    seeded sample of ids (one filtered pass, no k-means iterations —
+    adequate coarse quantizer for bucketing; swap for k-means offline)."""
+    n = embeddings.count()
+    g = np.random.Generator(np.random.PCG64(derive_seed(seed, "ivf")))
+    ids = sorted(g.choice(n, size=min(n_centroids, n), replace=False).tolist())
+    sample = embeddings.filter(expr=f"vec_id in {ids}")
+    tbl = pa.concat_tables(list(sample.iter_batches(batch_format="pyarrow")))
+    order = np.argsort(tbl.column("vec_id").to_numpy())
+    return _normalize(_batch_matrix(tbl)[order])
+
+
+class IVFAssign:
+    def __init__(self, cent_ref):
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        self.centroids = c
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        cid = np.argmax(m @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("centroid_id", pa.array(cid))
+
+
+def knn_ivf(embeddings: "ray.data.Dataset", query_ids: list[int],
+            query_matrix: np.ndarray, k: int = 10, n_centroids: int = 16,
+            nprobe: int = 4) -> pa.Table:
+    """Approximate top-k: probe only the nprobe nearest centroid buckets.
+    Returns the same schema as knn_bruteforce."""
+    cents = ivf_centroids(embeddings, n_centroids)
+    cent_ref = ray.put(cents)
+    assigned = embeddings.map_batches(
+        IVFAssign, fn_constructor_args=(cent_ref,), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=(1, 8))
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    probe_set = sorted({int(c) for row in probe for c in row})
+    # restrict the scan to probed buckets, then brute-force within them
+    subset = assigned.filter(expr=f"centroid_id in {probe_set}")
+    return knn_bruteforce(subset.drop_columns(["centroid_id"]),
+                          query_ids, query_matrix, k)

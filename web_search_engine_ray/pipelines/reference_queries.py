@@ -1,0 +1,352 @@
+"""Driver-facing reference queries (SURVEY.md §5.4, __ray_entry__ contract).
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and
+returns a pyarrow Table; ``ORACLE_SQL`` holds the DuckDB-equivalent SQL
+(column names match EXACTLY — the driver hashes values after sorting
+columns by name).  The BM25 entries build a real index (memoized under
+/tmp, reusing the engine's own resume machinery) — they exercise the
+full E1+E2 path, not a shortcut reimplementation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from web_search_engine_ray.pipelines.build import build_index
+from web_search_engine_ray.pipelines.query import run_queries
+from web_search_engine_ray.spec import EngineConfig, tokenize
+
+# Pinned reference query set over the driver's `documents` table.
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "spark hash join"),
+    (1, "window agg stream"),
+    (2, "customer order line"),
+    (3, "slow query scan"),
+    (4, "vector batch"),
+    (5, "merge sort order"),
+    (6, "big data table"),
+    (7, "unseenterm spark"),
+    (8, "filter"),
+    (9, "key value part group"),
+]
+BM25_K = 10
+
+_DOC_CFG = EngineConfig(hot_sample_docs=10_000)
+
+
+def _documents_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def index_for(sf_dir: str) -> str:
+    """Build (or reuse via the manifest resume path) the documents index."""
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = f"/tmp/wse_idx_{key}"
+    build_index(_documents_path(sf_dir), out, _DOC_CFG,
+                input_kind="corpus", resume=True)
+    return out
+
+
+def _docs_ds(sf_dir: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(_documents_path(sf_dir), columns=columns)
+
+
+# --- engine-core queries -------------------------------------------------
+
+
+def bm25_topk(sf_dir: str) -> pa.Table:
+    idx = index_for(sf_dir)
+    queries = pa.table({
+        "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int64()),
+        "query": pa.array([q[1] for q in BM25_QUERIES], pa.string())})
+    res = run_queries(idx, queries, k=BM25_K, mode="wand")
+    return res.set_column(res.schema.get_field_index("score"), "score",
+                          pa.array(np.round(res.column("score").to_numpy(), 6)))
+
+
+def doc_lengths(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.analysis import doc_tokens_batch
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_tokens_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(ds)
+
+
+def corpus_stats(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.state.manifest import read_stats
+    idx = index_for(sf_dir)
+    s = read_stats(idx)
+    return pa.table({
+        "n_docs": pa.array([s["n_docs"]], pa.int64()),
+        "total_tokens": pa.array([s["total_tokens"]], pa.int64()),
+        "avgdl": pa.array([round(s["avgdl"], 6)], pa.float64())})
+
+
+def term_df(sf_dir: str) -> pa.Table:
+    idx = index_for(sf_dir)
+    d = pq.read_table(os.path.join(idx, "dictionary"),
+                      columns=["term", "df", "cf"])
+    return d.sort_by([("term", "ascending")])
+
+
+def top_terms(sf_dir: str) -> pa.Table:
+    tbl = term_df(sf_dir)
+    return tbl.sort_by([("cf", "descending"), ("term", "ascending")]) \
+        .slice(0, 25)
+
+
+# --- training-data ops ---------------------------------------------------
+
+
+def dedup_exact(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.analysis import exact_dedup
+    out = exact_dedup(_docs_ds(sf_dir, ["doc_id", "text"]))
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
+def fingerprint(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.analysis import fingerprint_batch
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(ds).sort_by([("doc_id", "ascending")])
+
+
+def quality_score(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.analysis import quality_batch
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(ds).select(
+        ["doc_id", "n_tokens", "n_chars", "stopword_ratio"]) \
+        .sort_by([("doc_id", "ascending")])
+
+
+def lang_distribution(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count
+    agg = _docs_ds(sf_dir, ["doc_id", "lang"]).groupby("lang") \
+        .aggregate(Count())
+    tbl = _collect(agg)
+    return pa.table({"lang": tbl.column("lang"),
+                     "n_docs": tbl.column("count()")}) \
+        .sort_by([("lang", "ascending")])
+
+
+def lang_id_pred(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.analysis import lang_id_batch
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(ds).sort_by([("doc_id", "ascending")])
+
+
+def dedup_minhash(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.analysis import near_dup_pairs
+    return near_dup_pairs(_docs_ds(sf_dir, ["doc_id", "text"]),
+                          _documents_path(sf_dir), threshold=0.8)
+
+
+def dedup_simhash(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.analysis import simhash_pairs
+    return simhash_pairs(_docs_ds(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+def knn_cosine(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.knn import knn_bruteforce
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(emb_path, filters=[("vec_id", "in", [0, 1, 2, 3, 4])])
+    order = np.argsort(qtbl.column("vec_id").to_numpy())
+    from web_search_engine_ray.pipelines.knn import _batch_matrix
+    qmat = _batch_matrix(qtbl)[order]
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return knn_bruteforce(ds, [0, 1, 2, 3, 4], qmat, k=10)
+
+
+def knn_ivf_q(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.knn import _batch_matrix, knn_ivf
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(emb_path, filters=[("vec_id", "in", [0, 1, 2, 3, 4])])
+    order = np.argsort(qtbl.column("vec_id").to_numpy())
+    qmat = _batch_matrix(qtbl)[order]
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return knn_ivf(ds, [0, 1, 2, 3, 4], qmat, k=10)
+
+
+def media_features(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing demo: documents' text bytes as opaque payloads
+    through the actor-pool decode stage (FakeDecoder — see stages/media)."""
+    from web_search_engine_ray.stages.media import MediaFeatureStage
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("doc_id"),
+            "kind": pa.array(["image"] * batch.num_rows, pa.string()),
+            "payload": pa.array(
+                [t.encode() for t in batch.column("text").to_pylist()],
+                pa.large_binary()),
+            "mime": pa.array(["application/octet-stream"] * batch.num_rows,
+                             pa.string())})
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]) \
+        .map_batches(to_media, batch_format="pyarrow") \
+        .map_batches(MediaFeatureStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=(1, 4))
+    return _collect(ds).drop_columns(["features"]) \
+        .sort_by([("media_id", "ascending")])
+
+
+def events_by_type(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Sum
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    agg = ds.groupby("event_type").aggregate(Count(), Sum("value"))
+    tbl = _collect(agg)
+    return pa.table({
+        "event_type": tbl.column("event_type"),
+        "n_events": tbl.column("count()"),
+        "total_value": pa.array(
+            np.round(tbl.column("sum(value)").to_numpy(zero_copy_only=False)
+                     .astype(np.float64), 6)),
+    }).sort_by([("event_type", "ascending")])
+
+
+def transcripts_bm25(sf_dir: str) -> pa.Table:
+    """Flagship over SYNTHETIC transcripts (full E1: docID assignment,
+    salting, merge; E2: WAND).  sf_dir scales the corpus size."""
+    from web_search_engine_ray.sources.transcripts import (gen_queries,
+                                                           gen_transcripts)
+    n_convs = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}.get(
+        os.path.basename(os.path.normpath(sf_dir)), 200)
+    out = f"/tmp/wse_idx_transcripts_{n_convs}"
+    build_index(gen_transcripts(n_convs), out, resume=True)
+    return run_queries(out, gen_queries(), k=10, mode="wand",
+                       attach_doc_meta=True)
+
+
+def _collect(ds: "ray.data.Dataset") -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(batches) if batches else pa.table({})
+
+
+# --- DuckDB oracle SQL ---------------------------------------------------
+
+_TOKS = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+         "'[a-z0-9]+')) AS term FROM documents")
+
+
+def _bm25_sql() -> str:
+    values = []
+    for qid, q in BM25_QUERIES:
+        for t in sorted(set(tokenize(q))):
+            values.append(f"({qid}, '{t}')")
+    vals = ", ".join(values)
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+qt(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id::BIGINT AS query_id, t.doc_id,
+         sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+             * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS s
+  FROM qt q
+  JOIN tf t ON t.term = q.term
+  JOIN dl d ON d.doc_id = t.doc_id
+  JOIN df f ON f.term = t.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY s DESC, doc_id) AS INTEGER) AS rank,
+       doc_id, round(s, 6) AS score
+FROM scored
+QUALIFY rank <= {BM25_K}
+ORDER BY query_id, rank
+"""
+
+
+from web_search_engine_ray.functions.textproc import STOPWORDS  # noqa: E402
+
+_STOPLIST_SQL = "','".join(sorted(STOPWORDS))
+
+ORACLE_SQL: dict[str, str] = {
+    "bm25_topk": _bm25_sql(),
+    "doc_lengths": (
+        "SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+        "::BIGINT AS n_tokens FROM documents ORDER BY doc_id"),
+    "corpus_stats": f"""
+WITH toks AS ({_TOKS}), dl AS (SELECT doc_id, count(*)::BIGINT dl FROM toks GROUP BY 1)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       sum(dl)::BIGINT AS total_tokens,
+       round(sum(dl)::DOUBLE / (SELECT count(*) FROM documents), 6) AS avgdl
+FROM dl""",
+    "term_df": f"""
+WITH toks AS ({_TOKS})
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term""",
+    "top_terms": f"""
+WITH toks AS ({_TOKS})
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY cf DESC, term LIMIT 25""",
+    "dedup_exact": """
+SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY text ORDER BY doc_id""",
+    "fingerprint": """
+SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents ORDER BY doc_id""",
+    "quality_score": f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars,
+       round(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0
+             THEN 0.0 ELSE
+             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                 x -> x IN ('{_STOPLIST_SQL}')))::DOUBLE
+             / len(regexp_extract_all(lower(text), '[a-z0-9]+')) END, 6)
+         AS stopword_ratio
+FROM documents ORDER BY doc_id""",
+    "lang_distribution": """
+SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+ORDER BY lang""",
+    "knn_cosine": """
+WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe
+           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+sims AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[]))::DOUBLE AS sim
+  FROM q CROSS JOIN embeddings e)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
+       vec_id, round(sim, 6) AS sim
+FROM sims QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    "events_by_type": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type""",
+}
+
+QUERIES = {
+    "bm25_topk": bm25_topk,
+    "doc_lengths": doc_lengths,
+    "corpus_stats": corpus_stats,
+    "term_df": term_df,
+    "top_terms": top_terms,
+    "dedup_exact": dedup_exact,
+    "fingerprint": fingerprint,
+    "quality_score": quality_score,
+    "lang_distribution": lang_distribution,
+    "lang_id": lang_id_pred,          # rows-only (heuristic, no SQL oracle)
+    "dedup_minhash": dedup_minhash,   # rows-only
+    "dedup_simhash": dedup_simhash,   # rows-only
+    "knn_cosine": knn_cosine,
+    "knn_ivf": knn_ivf_q,             # rows-only (approximate)
+    "media_features": media_features,  # rows-only (stubbed decode)
+    "events_by_type": events_by_type,
+    "transcripts_bm25": transcripts_bm25,  # rows-only (synthetic corpus)
+}
