@@ -1,0 +1,174 @@
+"""Benchmark driver (BASELINE.md protocol).
+
+Default: runs the headline pipelines once under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf", "num_cpus"}.
+
+--scaling: runs the SAME build+query job in two fresh subprocesses
+(num_cpus=8 then 32) over the same pre-generated corpus and reports
+throughput at both plus scaling efficiency = (thru_32 / thru_8) / 4
+(the sandbox stand-in for the N-vs-4N-node cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_CONVS = int(os.environ.get("WSE_BENCH_CONVS", "60000"))
+BENCH_CORPUS = f"/tmp/wse_bench_corpus_{BENCH_CONVS}"
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def ensure_corpus() -> str:
+    """Generate the deterministic bench corpus once (multi-file parquet)."""
+    done = os.path.join(BENCH_CORPUS, "_DONE")
+    if os.path.exists(done):
+        return BENCH_CORPUS
+    from web_search_engine_ray.sources.transcripts import gen_transcripts
+    shutil.rmtree(BENCH_CORPUS, ignore_errors=True)
+    gen_transcripts(BENCH_CONVS, override_num_blocks=64) \
+        .write_parquet(BENCH_CORPUS)
+    with open(done, "w") as f:
+        f.write("ok")
+    return BENCH_CORPUS
+
+
+def build_and_query(corpus_path: str, out_dir: str) -> dict:
+    """The headline job: E1 build + E2 100-query WAND serve."""
+    import numpy as np
+
+    from web_search_engine_ray.pipelines.build import build_index
+    from web_search_engine_ray.pipelines.query import run_queries
+    from web_search_engine_ray.sources.transcripts import gen_queries
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    stats = build_index(corpus_path, out_dir)
+    build_sec = time.time() - t0
+    n_turns = stats["n_docs"]
+
+    from web_search_engine_ray.stages.scorer import IndexReader, wand_topk
+    reader = IndexReader(out_dir)
+    q = gen_queries()
+    lat = []
+    for query in q.column("query").to_pylist():
+        t1 = time.time()
+        wand_topk(reader, query, 10)
+        lat.append(time.time() - t1)
+    # actor-pool serve of the full set (the distributed path)
+    t2 = time.time()
+    run_queries(out_dir, q, k=10, mode="wand")
+    serve_sec = time.time() - t2
+    return {
+        "n_turns": n_turns,
+        "build_sec": round(build_sec, 3),
+        "turns_per_sec": round(n_turns / build_sec, 1),
+        "query_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 3),
+        "query_p95_ms": round(float(np.percentile(lat, 95)) * 1000, 3),
+        "serve_100_queries_sec": round(serve_sec, 3),
+    }
+
+
+def sf_pipelines(sf_dir: str) -> dict:
+    """Per-pipeline wall times over the driver testdata at $GRAFT_SF_DIR."""
+    from web_search_engine_ray.pipelines import reference_queries as rq
+    out = {}
+    # force a cold index build for the documents corpus
+    import hashlib
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    shutil.rmtree(f"/tmp/wse_idx_{key}", ignore_errors=True)
+    for name in ("bm25_topk", "doc_lengths", "term_df", "dedup_exact",
+                 "dedup_minhash", "dedup_simhash", "knn_cosine",
+                 "quality_score", "lang_id", "media_features"):
+        t0 = time.time()
+        rq.QUERIES[name](sf_dir)
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_bench() -> None:
+    _init_ray(NUM_CPUS)
+    corpus = ensure_corpus()
+    t_total = time.time()
+    headline = build_and_query(corpus, "/tmp/wse_bench_idx")
+    sf_times = sf_pipelines(SF_DIR)
+    total = time.time() - t_total
+    queries = {**sf_times,
+               "index_build_sec": headline["build_sec"],
+               "serve_100_queries_sec": headline["serve_100_queries_sec"]}
+    print(json.dumps({
+        "metric": "index_build_turns_per_sec",
+        "value": headline["turns_per_sec"],
+        "unit": "turns/sec",
+        "headline": headline,
+        "queries": queries,
+        "total_sec": round(total, 3),
+        "sf": SF_DIR,
+        "bench_corpus_turns": headline["n_turns"],
+        "num_cpus": NUM_CPUS,
+    }))
+    import ray
+    ray.shutdown()
+
+
+def _scaling_child(num_cpus: int) -> dict:
+    """Entry for a fresh-process scaling run (same corpus, fixed cpus)."""
+    _init_ray(num_cpus)
+    corpus = ensure_corpus()
+    res = build_and_query(corpus, f"/tmp/wse_bench_idx_{num_cpus}")
+    import ray
+    ray.shutdown()
+    return res
+
+
+def main_scaling() -> None:
+    # generate the corpus up front so both children read identical input
+    _init_ray(NUM_CPUS)
+    ensure_corpus()
+    import ray
+    ray.shutdown()
+    results = {}
+    for p in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(p)],
+            capture_output=True, text=True, timeout=3600)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(f"scaling child {p} failed")
+        results[p] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thru8 = results[8]["turns_per_sec"]
+    thru32 = results[32]["turns_per_sec"]
+    eff = (thru32 / thru8) / 4
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "thru_8cpu_turns_per_sec": thru8,
+        "thru_32cpu_turns_per_sec": thru32,
+        "detail": results,
+        "bench_corpus_convs": BENCH_CONVS,
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        main_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        os.environ["RAY_GRAFT_CPUS"] = sys.argv[2]
+        NUM_CPUS = int(sys.argv[2])
+        print(json.dumps(_scaling_child(NUM_CPUS)))
+    else:
+        main_bench()

@@ -35,8 +35,8 @@ def conversation_offsets(ds: "ray.data.Dataset") -> tuple[dict[str, int], int]:
     """
     from ray.data.aggregate import Count, Max, Min
 
-    conv = ds.groupby("conv_id").aggregate(
-        Count(), Max("turn_idx"), Min("turn_idx")).to_pandas()
+    conv = ds.select_columns(["conv_id", "turn_idx"]).groupby("conv_id") \
+        .aggregate(Count(), Max("turn_idx"), Min("turn_idx")).to_pandas()
     n_turns = conv["count()"].to_numpy()
     mx = conv["max(turn_idx)"].to_numpy()
     mn = conv["min(turn_idx)"].to_numpy()

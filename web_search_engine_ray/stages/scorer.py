@@ -55,6 +55,7 @@ class IndexReader:
             dt.column("doc_len").to_numpy().astype(np.float64)
         self._seg_cache: dict[int, pa.Table] = {}
         self._post_cache: dict[str, codec.EncodedPostings] = {}
+        self._decoded_cache: dict[str, tuple] = {}
         self._max_cached_terms = max_cached_terms
 
     def _bucket_table(self, bucket: int) -> pa.Table:
@@ -100,6 +101,21 @@ class IndexReader:
         self._post_cache[term] = enc
         return enc
 
+    def decoded(self, term: str):
+        """Fully-decoded (doc_ids, tfs) with a small cache — hot terms
+        are decoded once per actor, not once per query."""
+        hit = self._decoded_cache.get(term)
+        if hit is not None:
+            return hit
+        enc = self.postings(term)
+        if enc is None:
+            return None
+        pair = codec.decode_postings(enc.doc_bytes, enc.tf_bytes, enc.n)
+        if len(self._decoded_cache) >= 256:
+            self._decoded_cache.clear()
+        self._decoded_cache[term] = pair
+        return pair
+
     def idf(self, term: str) -> float:
         entry = self.dictionary.get(term)
         if entry is None:
@@ -114,8 +130,15 @@ def _bm25_vec(tfs: np.ndarray, dls: np.ndarray, avgdl: float, idf_t: float) -> n
 
 def _topk_from_arrays(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     """k best by (-score, doc_id); doc_ids ascending-unique on input."""
-    if len(doc_ids) == 0:
+    n = len(doc_ids)
+    if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    if n > 4 * k:
+        # O(n) selection first; ties at the kth score all survive to the
+        # exact lexsort below, so tie-break semantics are unchanged
+        kth = np.partition(scores, n - k)[n - k]
+        mask = scores >= kth
+        doc_ids, scores = doc_ids[mask], scores[mask]
     order = np.lexsort((doc_ids, -scores))[:k]
     return doc_ids[order], scores[order]
 
@@ -126,14 +149,27 @@ def exhaustive_topk(reader: IndexReader, query: str, k: int):
     cand: list[np.ndarray] = []
     decoded = []
     for t in terms:
-        enc = reader.postings(t)
-        if enc is None:
+        pair = reader.decoded(t)
+        if pair is None:
             continue
-        docs, tfs = codec.decode_postings(enc.doc_bytes, enc.tf_bytes, enc.n)
+        docs, tfs = pair
         decoded.append((t, docs, tfs))
         cand.append(docs)
     if not decoded:
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    n_total = sum(len(d) for _, d, _ in decoded)
+    n_docs = len(reader.doc_lens)
+    if n_total > 0.3 * n_docs:
+        # dense accumulation: cheaper than unique+searchsorted when the
+        # candidate set approaches the corpus (hot-term queries)
+        scores = np.zeros(n_docs, dtype=np.float64)
+        hit = np.zeros(n_docs, dtype=bool)
+        for t, docs, tfs in decoded:   # lexicographic == pinned sum order
+            scores[docs] += _bm25_vec(tfs, reader.doc_lens[docs],
+                                      reader.avgdl, reader.idf(t))
+            hit[docs] = True
+        all_docs = np.flatnonzero(hit)
+        return _topk_from_arrays(all_docs, scores[all_docs], k)
     all_docs = np.unique(np.concatenate(cand))
     scores = np.zeros(len(all_docs), dtype=np.float64)
     dls = reader.doc_lens[all_docs]
@@ -143,54 +179,75 @@ def exhaustive_topk(reader: IndexReader, query: str, k: int):
     return _topk_from_arrays(all_docs, scores, k)
 
 
+_WINDOW = 8  # posting blocks decoded/skipped per cursor step
+# When every query term is this frequent, WAND cannot prune (every doc
+# is a near-candidate) and the pivot walk only adds overhead — score
+# exhaustively instead.  Lossless: both paths produce identical results
+# (same pinned summation order), verified by the conformance suite.
+_DENSE_DF_FRAC = 0.1
+
+
 class _Cursor:
-    __slots__ = ("term", "enc", "idf", "term_ub", "n_blocks", "block",
-                 "docs", "tfs", "pos", "cur_doc", "reader", "_tf_loaded")
+    """Posting cursor over a WINDOW of blocks (vectorized decode).
+
+    Skips happen at window granularity: the window upper bound is the
+    max block_max_tf inside it — a valid (if slightly looser) bound, so
+    the strict-< skip rule of spec A.5 is preserved exactly.
+    """
+
+    __slots__ = ("term", "enc", "idf", "term_ub", "n_blocks", "win_start",
+                 "win_end", "docs", "tfs", "pos", "cur_doc", "win_ub",
+                 "_dl_min", "_avgdl")
 
     def __init__(self, term: str, enc: codec.EncodedPostings, idf_t: float,
                  dl_min: float, avgdl: float):
         self.term = term
         self.enc = enc
         self.idf = idf_t
+        self._dl_min = dl_min
+        self._avgdl = avgdl
         mtf = float(enc.max_tf)
         self.term_ub = idf_t * mtf / (mtf + K1 * (1.0 - B + B * dl_min / avgdl))
         self.n_blocks = len(enc.block_last_doc)
-        self.block = -1
         self.docs = None
         self.tfs = None
-        self._tf_loaded = False
         self.pos = 0
         self.cur_doc = -1
-        self._load_block(0)
+        self._load_window(0)
         self.cur_doc = int(self.docs[0])
 
-    def _load_block(self, bi: int) -> None:
+    def _load_window(self, bi: int) -> None:
         e = self.enc
+        bj = min(bi + _WINDOW, self.n_blocks)          # exclusive
         d0 = int(e.block_off_docs[bi])
-        d1 = int(e.block_off_docs[bi + 1]) if bi + 1 < self.n_blocks else len(e.doc_bytes)
+        d1 = int(e.block_off_docs[bj]) if bj < self.n_blocks else len(e.doc_bytes)
         deltas = codec.varbyte_decode(e.doc_bytes[d0:d1]).astype(np.int64)
         base = int(e.block_last_doc[bi - 1]) if bi > 0 else 0
         self.docs = base + np.cumsum(deltas)
-        self.block = bi
-        self._tf_loaded = False
+        self.tfs = None
+        self.win_start = bi
+        self.win_end = bj
+        mtf = float(e.block_max_tf[bi:bj].max())
+        self.win_ub = self.idf * mtf / (
+            mtf + K1 * (1.0 - B + B * self._dl_min / self._avgdl))
         self.pos = 0
 
     def _load_tfs(self) -> None:
         e = self.enc
-        bi = self.block
-        t0 = int(e.block_off_tfs[bi])
-        t1 = int(e.block_off_tfs[bi + 1]) if bi + 1 < self.n_blocks else len(e.tf_bytes)
+        t0 = int(e.block_off_tfs[self.win_start])
+        t1 = int(e.block_off_tfs[self.win_end]) \
+            if self.win_end < self.n_blocks else len(e.tf_bytes)
         self.tfs = codec.varbyte_decode(e.tf_bytes[t0:t1]).astype(np.int64)
-        self._tf_loaded = True
 
-    def block_ub(self, dl_min: float, avgdl: float) -> float:
-        mtf = float(self.enc.block_max_tf[self.block])
-        return self.idf * mtf / (mtf + K1 * (1.0 - B + B * dl_min / avgdl))
+    def window_last(self) -> int:
+        return int(self.enc.block_last_doc[self.win_end - 1])
 
-    def tf(self) -> int:
-        if not self._tf_loaded:
+    def slice_to(self, range_end: int) -> tuple[np.ndarray, np.ndarray]:
+        """Postings in [cur_doc, range_end] (range_end <= window_last)."""
+        if self.tfs is None:
             self._load_tfs()
-        return int(self.tfs[self.pos])
+        hi = int(np.searchsorted(self.docs, range_end, side="right"))
+        return self.docs[self.pos:hi], self.tfs[self.pos:hi]
 
     def next_geq(self, target: int) -> int:
         """Advance to first doc >= target; returns cur_doc or -1 (end)."""
@@ -199,17 +256,29 @@ class _Cursor:
         if target > self.enc.last_doc:
             self.cur_doc = -1
             return -1
-        bi = int(np.searchsorted(self.enc.block_last_doc, target))
-        if bi != self.block:
-            self._load_block(bi)
+        if target > self.window_last():
+            bi = int(np.searchsorted(self.enc.block_last_doc, target))
+            self._load_window(bi)
         self.pos = int(np.searchsorted(self.docs, target))
         self.cur_doc = int(self.docs[self.pos])
         return self.cur_doc
 
 
 def wand_topk(reader: IndexReader, query: str, k: int):
-    """Block-max WAND per the pinned contract (spec A.5)."""
+    """Block-max WAND per the pinned contract (spec A.5), vectorized.
+
+    The classic pivot walk runs at window granularity: an aligned pivot
+    evaluates the whole doc range [pivot_doc, range_end] with numpy
+    (contributions added in lexicographic term order — identical float
+    summation to the exhaustive path), and a window whose block-max
+    upper-bound sum is strictly below tau is skipped wholesale without
+    decoding its tf stream.
+    """
     terms = sorted(set(tokenize(query)))
+    present = [(t, reader.dictionary[t]) for t in terms
+               if t in reader.dictionary]
+    if present and min(e[1][1] for e in present) >= _DENSE_DF_FRAC * reader.N:
+        return exhaustive_topk(reader, query, k)
     cursors: list[_Cursor] = []
     for t in terms:
         enc = reader.postings(t)
@@ -220,46 +289,73 @@ def wand_topk(reader: IndexReader, query: str, k: int):
         return np.empty(0, np.int64), np.empty(0, np.float64)
     lex_order = list(cursors)          # fixed lexicographic evaluation order
     heap: list[tuple[float, int]] = []  # (score, -doc_id): min = worst kept
-    avgdl, dl_min = reader.avgdl, reader.dl_min
-    alive = [c for c in cursors if c.cur_doc >= 0]
+    avgdl = reader.avgdl
+    doc_lens = reader.doc_lens
+    alive = list(cursors)
     while alive:
         alive.sort(key=lambda c: c.cur_doc)
-        tau = heap[0][0] if len(heap) >= k else -np.inf
-        # pivot: first prefix whose term-UB sum could still beat tau
+        full = len(heap) >= k
+        tau = heap[0][0] if full else -np.inf
+        # pivot: first prefix whose term-UB sum could still reach tau
         acc = 0.0
         pivot_idx = -1
         for i, c in enumerate(alive):
             acc += c.term_ub
-            if acc >= tau:      # never skip on equality (A.5)
+            if not full or acc >= tau:   # never skip on equality (A.5)
                 pivot_idx = i
                 break
         if pivot_idx < 0:
-            break               # no prefix can reach tau -> done
+            break                        # no prefix can reach tau -> done
         pivot_doc = alive[pivot_idx].cur_doc
-        if alive[0].cur_doc == pivot_doc:
-            # all cursors [0..pivot] aligned; block-max refinement first
-            at_pivot = [c for c in alive if c.cur_doc == pivot_doc]
-            block_acc = sum(c.block_ub(dl_min, avgdl) for c in at_pivot)
-            if block_acc >= tau:
-                dl = reader.doc_lens[pivot_doc]
-                score = 0.0
-                for c in lex_order:  # pinned summation order
-                    if c.cur_doc == pivot_doc:
-                        tf = float(c.tf())
-                        score += c.idf * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
-                key = (score, -pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, key)
-                elif key > heap[0]:
-                    heapq.heapreplace(heap, key)
-            for c in at_pivot:
-                c.next_geq(pivot_doc + 1)
-        else:
-            # advance the highest-UB cursor strictly before the pivot doc
-            # (must make progress: cursors AT pivot_doc are not candidates)
-            behind = [c for c in alive[:pivot_idx + 1] if c.cur_doc < pivot_doc]
-            adv = max(behind, key=lambda c: c.term_ub)
-            adv.next_geq(pivot_doc)
+        if alive[0].cur_doc < pivot_doc:
+            # WAND guarantee: no doc < pivot_doc can reach tau, so every
+            # lagging cursor may jump straight to the pivot (lossless)
+            for c in alive:
+                if c.cur_doc < pivot_doc:
+                    c.next_geq(pivot_doc)
+            alive = [c for c in alive if c.cur_doc >= 0]
+            continue
+        # aligned: evaluate a window-bounded doc range vectorized.  The
+        # range covers every alive cursor whose postings fall inside it
+        # (fixed-point on the window ends), so ranges stay wide even when
+        # cursors interleave densely (hot-term conjunctions).
+        range_end = min(c.window_last() for c in alive
+                        if c.cur_doc == pivot_doc)
+        while True:
+            included = [c for c in alive if c.cur_doc <= range_end]
+            new_end = min(c.window_last() for c in included)
+            if new_end >= range_end:
+                break
+            range_end = new_end
+        included = [c for c in alive if c.cur_doc <= range_end]
+        if full and sum(c.win_ub for c in included) < tau:
+            # block-max skip: nothing in this range can reach tau (strict)
+            for c in included:
+                c.next_geq(range_end + 1)
+            alive = [c for c in alive if c.cur_doc >= 0]
+            continue
+        inc_set = set(id(c) for c in included)
+        slices = [(c, *c.slice_to(range_end))
+                  for c in lex_order if id(c) in inc_set]
+        cand = np.unique(np.concatenate([d for _, d, _ in slices]))
+        scores = np.zeros(len(cand), dtype=np.float64)
+        dls = doc_lens[cand]
+        for c, d, t in slices:           # lexicographic == pinned sum order
+            pos = np.searchsorted(cand, d)
+            tf = t.astype(np.float64)
+            scores[pos] += c.idf * tf / (
+                tf + K1 * (1.0 - B + B * dls[pos] / avgdl))
+        if full:
+            keep = scores >= tau         # ties fully evaluated (A.5)
+            cand, scores = cand[keep], scores[keep]
+        for s, d in zip(scores.tolist(), cand.tolist()):
+            key = (s, -d)
+            if len(heap) < k:
+                heapq.heappush(heap, key)
+            elif key > heap[0]:
+                heapq.heapreplace(heap, key)
+        for c in included:
+            c.next_geq(range_end + 1)
         alive = [c for c in alive if c.cur_doc >= 0]
     out = sorted(heap, key=lambda x: (-x[0], -x[1]))
     return (np.array([-d for _, d in out], dtype=np.int64),
