@@ -36,6 +36,28 @@ SEGMENTS_DIR = "segments"
 DICT_DIR = "dictionary"
 
 
+def dedup_turns(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """D1: drop duplicate (conv_id, turn_idx), keeping the earliest by ts
+    (tie: stable first).  Hash-partitioned groupby — the group payload is
+    the duplicate copies of one turn, so group size is bounded by the
+    duplication factor, never by corpus size."""
+
+    def first_by_ts(group: pa.Table) -> pa.Table:
+        if group.num_rows <= 1:
+            return group
+        idx = pa.compute.sort_indices(group, sort_keys=[("ts", "ascending")])
+        return group.take(idx[:1])
+
+    return ds.groupby(["conv_id", "turn_idx"]).map_groups(
+        first_by_ts, batch_format="pyarrow")
+
+
+def filter_turns(ds: "ray.data.Dataset", expr: str) -> "ray.data.Dataset":
+    """M4: index scoping (e.g. "role != 'tool'" or a ts range) before
+    docID assignment — a J3-style scoped index view."""
+    return ds.filter(expr=expr)
+
+
 def transcripts_to_corpus(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Assign deterministic dense doc_id (O1/O2) to a transcripts Dataset.
 
@@ -51,6 +73,8 @@ def transcripts_to_corpus(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
                 cfg: EngineConfig = DEFAULT_CONFIG, *,
                 input_kind: str = "transcripts",
+                filter_expr: str | None = None,
+                dedup: bool = False,
                 resume: bool = False) -> dict:
     """Build the inverted index at ``out_dir``.
 
@@ -70,6 +94,10 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
     def corpus_ds() -> "ray.data.Dataset":
         if not _cache:
             ds = read_transcripts(corpus) if isinstance(corpus, str) else corpus
+            if filter_expr:
+                ds = filter_turns(ds, filter_expr)
+            if dedup:
+                ds = dedup_turns(ds)
             if input_kind == "transcripts":
                 ds = transcripts_to_corpus(ds)
             _cache.append(ds)
