@@ -27,7 +27,7 @@ from web_search_engine_ray.sources.transcripts import read_transcripts
 from web_search_engine_ray.stages.indexer import (
     PartitionIndexer, conversation_offsets, detect_hot_terms,
     doc_table_batch, make_assign_doc_ids)
-from web_search_engine_ray.stages.encoder import FinalizeBucket, encode_group
+from web_search_engine_ray.stages.encoder import FinalizeBucket, encode_partition
 from web_search_engine_ray.state.manifest import Manifest, write_stats
 
 DOC_TABLE_DIR = "doc_table"
@@ -146,6 +146,7 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
     # -- stage: partial postings (A1) + checkpoint ------------------------
     partials_dir = os.path.join(out_dir, PARTIALS_DIR)
     hot_ref = ray.put(hot_terms)
+    live_partials = None
     if not man.done("partials"):
         partials = corpus_ds().select_columns(["doc_id", "text"]).map_batches(
             PartitionIndexer,
@@ -156,37 +157,57 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
             concurrency=_actor_concurrency(),
         )
         if cfg.checkpoint_partials:
+            # Materialize once: the checkpoint write and the merge both
+            # consume the same in-memory blocks (object store spills if
+            # needed).  At true 10^12 scale flip materialize_partials
+            # off: stream to the checkpoint, then merge re-reads it.
             _clean(partials_dir)
-            partials.write_parquet(partials_dir)
+            if cfg.materialize_partials:
+                live_partials = partials.materialize()
+                live_partials.write_parquet(partials_dir)
+            else:
+                partials.write_parquet(partials_dir)
             man.mark_done("partials", checkpointed=True)
         else:
-            # no checkpoint: merge consumes the live stream (still correct,
-            # just not resumable mid-shuffle)
-            build_index._live_partials = partials  # type: ignore[attr-defined]
+            live_partials = partials
             man.mark_done("partials", checkpointed=False)
 
     # -- stage: merge + encode + write segments (G3/A2/S3) ----------------
+    # HASH_SHUFFLE repartition by (bucket, salt): a streaming hash
+    # exchange — never a global sort of the posting rows.
     if not man.done("segments"):
-        if man.data["stages"]["partials"].get("checkpointed", True):
-            partials_ds = ray.data.read_parquet(partials_dir)
+        if live_partials is not None:
+            partials_ds = live_partials
         else:
-            partials_ds = build_index._live_partials  # type: ignore[attr-defined]
+            partials_ds = ray.data.read_parquet(partials_dir)
         completed = {int(b) for b in man.data.get("buckets", {})}
         if completed:
-            partials_ds = partials_ds.filter(
-                lambda r: r["bucket"] not in completed)
+            keep = [b for b in range(cfg.num_buckets) if b not in completed]
+            partials_ds = partials_ds.filter(expr=f"bucket in {keep}")
         seg_dir = os.path.join(out_dir, SEGMENTS_DIR)
         dict_dir = os.path.join(out_dir, DICT_DIR)
         if not completed:  # fresh merge: drop any stale bucket files
             _clean(seg_dir)
             _clean(dict_dir)
+        n_cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
+        from ray.data.context import ShuffleStrategy
+        partials_ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # cap shuffle aggregator actors so they never starve the map/
+        # finalize stages on small CPU counts (they deadlock otherwise)
+        partials_ds.context.max_hash_shuffle_aggregators = max(2, n_cpus // 2)
         bucket_rows = (
             partials_ds
-            .groupby(["bucket", "salt"])
-            .map_groups(encode_group, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(FinalizeBucket, fn_constructor_args=(seg_dir, dict_dir),
-                        batch_format="pyarrow", concurrency=_actor_concurrency())
+            .repartition(num_blocks=max(8, n_cpus * 2),
+                         keys=["bucket", "salt"])
+            .map_batches(encode_partition, batch_size=None,
+                         batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(num_blocks=min(cfg.num_buckets, max(4, n_cpus)),
+                         keys=["bucket"])
+            .map_batches(FinalizeBucket,
+                         fn_constructor_args=(seg_dir, dict_dir),
+                         batch_size=None, batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         concurrency=_actor_concurrency())
             .take_all()
         )
         man.record_buckets(bucket_rows)

@@ -97,6 +97,7 @@ class EngineConfig:
     b: float = B
     tokenize_batch_size: int = 8192
     checkpoint_partials: bool = True
+    materialize_partials: bool = True  # False at extreme scale: stream to ckpt, re-read
 
     def config_hash(self) -> str:
         payload = repr(sorted(asdict(self).items())).encode()

@@ -85,33 +85,49 @@ def _empty_cols() -> dict:
     return {name: [] for name in SEGMENT_SCHEMA.names}
 
 
-def encode_group(group: pa.Table) -> pa.Table:
-    """One (bucket, salt) group -> encoded posting runs, one row per term."""
-    if group.num_rows == 0:
+def encode_partition(batch: pa.Table) -> pa.Table:
+    """One hash partition of partials (whole (term, salt) groups are
+    co-located by ``repartition(keys=["bucket","salt"])``) -> encoded
+    posting runs, one row per (term, salt).
+
+    Used as ``map_batches(encode_partition, batch_size=None)`` after a
+    HASH_SHUFFLE repartition — a streaming hash exchange, cheaper than a
+    sort-based groupby at every scale (no global sort of 10^12 posting
+    rows; ordering is re-established per partition below).
+    """
+    if batch.num_rows == 0:
         return pa.table(_empty_cols(), schema=SEGMENT_SCHEMA)
-    bucket = int(group.column("bucket")[0].as_py())
-    salt = int(group.column("salt")[0].as_py())
     idx = pa.compute.sort_indices(
-        group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")])
-    sorted_tbl = group.take(idx)
-    terms = sorted_tbl.column("term").to_pandas().to_numpy()
-    doc_ids = sorted_tbl.column("doc_id").to_numpy()
-    tfs = sorted_tbl.column("tf").to_numpy()
-    # term run boundaries
-    change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+        batch, sort_keys=[("term", "ascending"), ("salt", "ascending"),
+                          ("doc_id", "ascending")])
+    t = batch.take(idx)
+    terms = t.column("term").to_pandas().to_numpy()
+    salts = t.column("salt").to_numpy()
+    buckets = t.column("bucket").to_numpy()
+    doc_ids = t.column("doc_id").to_numpy()
+    tfs = t.column("tf").to_numpy()
+    change = np.flatnonzero((terms[1:] != terms[:-1])
+                            | (salts[1:] != salts[:-1])) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(terms)]))
     cols = _empty_cols()
     for s, e in zip(starts, ends):
         d = doc_ids[s:e]
-        t = tfs[s:e]
+        f = tfs[s:e]
         if len(d) > 1 and (d[1:] <= d[:-1]).any():
             raise ValueError(f"duplicate doc_id for term {terms[s]!r} — "
                              "run exact dedup (D1) before indexing")
-        enc = codec.encode_postings(d, t)
-        _encoded_to_columns(str(terms[s]), bucket, salt, enc, cols)
-        cols["cf"][-1] = int(t.sum())
+        enc = codec.encode_postings(d, f)
+        _encoded_to_columns(str(terms[s]), int(buckets[s]), int(salts[s]),
+                            enc, cols)
+        cols["cf"][-1] = int(f.sum())
     return pa.table(cols, schema=SEGMENT_SCHEMA)
+
+
+def encode_group(group: pa.Table) -> pa.Table:
+    """groupby(["bucket","salt"]).map_groups form of encode_partition
+    (kept for the sort-shuffle fallback path)."""
+    return encode_partition(group)
 
 
 class FinalizeBucket:
@@ -132,17 +148,33 @@ class FinalizeBucket:
         os.makedirs(seg_dir, exist_ok=True)
         os.makedirs(dict_dir, exist_ok=True)
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return pa.table({"bucket": pa.array([], pa.int32()),
-                             "n_terms": pa.array([], pa.int64()),
-                             "n_postings": pa.array([], pa.int64()),
-                             "sha256": pa.array([], pa.string()),
-                             "path": pa.array([], pa.string())})
-        bucket = int(group.column("bucket")[0].as_py())
-        idx = pa.compute.sort_indices(
-            group, sort_keys=[("term", "ascending"), ("salt", "ascending")])
-        rows = group.take(idx).to_pylist()
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Handles one or more whole buckets per batch (hash partition)."""
+        out = {"bucket": [], "n_terms": [], "n_postings": [],
+               "sha256": [], "path": []}
+        if batch.num_rows:
+            idx = pa.compute.sort_indices(
+                batch, sort_keys=[("bucket", "ascending"),
+                                  ("term", "ascending"),
+                                  ("salt", "ascending")])
+            tbl = batch.take(idx)
+            buckets = tbl.column("bucket").to_numpy()
+            change = np.flatnonzero(buckets[1:] != buckets[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(buckets)]))
+            for s, e in zip(starts, ends):
+                row = self._finalize_one(int(buckets[s]),
+                                         tbl.slice(s, e - s).to_pylist())
+                for k, v in row.items():
+                    out[k].append(v)
+        return pa.table({
+            "bucket": pa.array(out["bucket"], pa.int32()),
+            "n_terms": pa.array(out["n_terms"], pa.int64()),
+            "n_postings": pa.array(out["n_postings"], pa.int64()),
+            "sha256": pa.array(out["sha256"], pa.string()),
+            "path": pa.array(out["path"], pa.string())})
+
+    def _finalize_one(self, bucket: int, rows: list[dict]) -> dict:
         cols = _empty_cols()
         i = 0
         while i < len(rows):
@@ -171,13 +203,9 @@ class FinalizeBucket:
             self.dict_dir, f"bucket={bucket}.parquet"))
         with open(seg_path, "rb") as f:
             digest = hashlib.sha256(f.read()).hexdigest()
-        return pa.table({
-            "bucket": pa.array([bucket], pa.int32()),
-            "n_terms": pa.array([seg_tbl.num_rows], pa.int64()),
-            "n_postings": pa.array([int(sum(cols["n"]))], pa.int64()),
-            "sha256": pa.array([digest], pa.string()),
-            "path": pa.array([seg_path], pa.string()),
-        })
+        return {"bucket": bucket, "n_terms": seg_tbl.num_rows,
+                "n_postings": int(sum(cols["n"])), "sha256": digest,
+                "path": seg_path}
 
 
 def _atomic_write_parquet(tbl: pa.Table, path: str) -> None:
