@@ -33,13 +33,30 @@ def conversation_offsets(ds: "ray.data.Dataset") -> tuple[dict[str, int], int]:
     ~10^10 rows; the driver-side cumsum below becomes a hierarchical
     (per-range) prefix sum over the sorted conv table — same semantics.
     """
-    from ray.data.aggregate import Count, Max, Min
+    from ray.data.aggregate import Max, Min, Sum
 
-    conv = ds.select_columns(["conv_id", "turn_idx"]).groupby("conv_id") \
-        .aggregate(Count(), Max("turn_idx"), Min("turn_idx")).to_pandas()
-    n_turns = conv["count()"].to_numpy()
-    mx = conv["max(turn_idx)"].to_numpy()
-    mn = conv["min(turn_idx)"].to_numpy()
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        # per-block combiner: shrinks the shuffle from one row per TURN
+        # to one row per (block, conv) before the conv-level groupby
+        g = pd.DataFrame({
+            "conv_id": batch.column("conv_id").to_pandas(),
+            "turn_idx": batch.column("turn_idx").to_numpy(),
+        }).groupby("conv_id", sort=False)["turn_idx"].agg(["count", "min", "max"])
+        return pa.table({
+            "conv_id": pa.array(g.index, pa.string()),
+            "n": pa.array(g["count"].to_numpy(), pa.int64()),
+            "mn": pa.array(g["min"].to_numpy(), pa.int32()),
+            "mx": pa.array(g["max"].to_numpy(), pa.int32()),
+        })
+
+    conv = ds.select_columns(["conv_id", "turn_idx"]) \
+        .map_batches(partial_counts, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("conv_id").aggregate(Sum("n"), Max("mx"), Min("mn")) \
+        .to_pandas()
+    n_turns = conv["sum(n)"].to_numpy()
+    mx = conv["max(mx)"].to_numpy()
+    mn = conv["min(mn)"].to_numpy()
     if not ((mn == 0).all() and (mx == n_turns - 1).all()):
         bad = conv[(mn != 0) | (mx != n_turns - 1)]["conv_id"].iloc[0]
         raise ValueError(
