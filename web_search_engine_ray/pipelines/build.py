@@ -27,7 +27,9 @@ from web_search_engine_ray.sources.transcripts import read_transcripts
 from web_search_engine_ray.stages.indexer import (
     PartitionIndexer, conversation_offsets, detect_hot_terms,
     doc_table_batch, make_assign_doc_ids)
-from web_search_engine_ray.stages.encoder import FinalizeBucket, encode_partition
+from web_search_engine_ray.stages.encoder import (FinalizeBucket,  # noqa: F401
+                                                  encode_partition,
+                                                  finalize_buckets_task)
 from web_search_engine_ray.state.manifest import Manifest, write_stats
 
 DOC_TABLE_DIR = "doc_table"
@@ -83,8 +85,16 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
     Dataset already carrying doc_id + text.
     Returns the stats dict (T5).
     """
+    import time as _time
     os.makedirs(out_dir, exist_ok=True)
     man = Manifest.load_or_create(out_dir, cfg.config_hash(), resume)
+    _t0 = _time.time()
+    _metrics: dict[str, float] = {}
+
+    def _mark(stage: str) -> None:
+        nonlocal _t0
+        _metrics[stage] = round(_time.time() - _t0, 3)
+        _t0 = _time.time()
 
     # One lazy Dataset, consumed by several stages — conv offsets are
     # computed once (memoized; skipped entirely when resuming past the
@@ -111,6 +121,7 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
             doc_table_batch, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=cfg.tokenize_batch_size,
         ).write_parquet(doc_dir)
+        _mark("doc_table")
         man.mark_done("doc_table")
 
     # -- stage: stats (from the doc_table checkpoint — column-pruned) -----
@@ -133,6 +144,7 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
             "b": cfg.b,
             "config_hash": cfg.config_hash(),
         }
+        _mark("stats")
         man.mark_done("stats", **stats)
     stats = {k: v for k, v in man.data["stages"]["stats"].items() if k != "done"}
     n_docs = stats["n_docs"]
@@ -140,6 +152,7 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
     # -- stage: hot terms (G6) --------------------------------------------
     if not man.done("hot_terms"):
         hot = sorted(detect_hot_terms(corpus_ds(), cfg, n_docs))
+        _mark("hot_terms")
         man.mark_done("hot_terms", hot_terms=hot)
     hot_terms = set(man.data["stages"]["hot_terms"]["hot_terms"])
 
@@ -148,14 +161,22 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
     hot_ref = ray.put(hot_terms)
     live_partials = None
     if not man.done("partials"):
-        partials = corpus_ds().select_columns(["doc_id", "text"]).map_batches(
-            PartitionIndexer,
-            fn_constructor_args=(hot_ref, cfg.num_buckets, cfg.salt_s,
-                                 max(1, stats["max_doc_id"] + 1)),
-            batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=cfg.tokenize_batch_size,
-            concurrency=_actor_concurrency(),
-        )
+        indexer_kwargs = dict(hot_ref=hot_ref, num_buckets=cfg.num_buckets,
+                              salt_s=cfg.salt_s,
+                              n_docs=max(1, stats["max_doc_id"] + 1))
+        src = corpus_ds().select_columns(["doc_id", "text"])
+        if cfg.indexer_actor_pool:
+            partials = src.map_batches(
+                PartitionIndexer,
+                fn_constructor_args=tuple(indexer_kwargs.values()),
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=cfg.tokenize_batch_size,
+                concurrency=_actor_concurrency())
+        else:
+            partials = src.map_batches(
+                PartitionIndexer.task_fn, fn_kwargs=indexer_kwargs,
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=cfg.tokenize_batch_size)
         if cfg.checkpoint_partials:
             # Materialize once: the checkpoint write and the merge both
             # consume the same in-memory blocks (object store spills if
@@ -167,6 +188,7 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
                 live_partials.write_parquet(partials_dir)
             else:
                 partials.write_parquet(partials_dir)
+            _mark("partials")
             man.mark_done("partials", checkpointed=True)
         else:
             live_partials = partials
@@ -192,9 +214,10 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
         n_cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
         from ray.data.context import ShuffleStrategy
         partials_ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        # cap shuffle aggregator actors so they never starve the map/
-        # finalize stages on small CPU counts (they deadlock otherwise)
-        partials_ds.context.max_hash_shuffle_aggregators = max(2, n_cpus // 2)
+        # cap shuffle aggregator actors so the two shuffle operators plus
+        # the finalize pool never starve each other (deadlock otherwise):
+        # budget ~n/4 per shuffle + n/4 finalize actors + task headroom
+        partials_ds.context.max_hash_shuffle_aggregators = max(2, n_cpus // 4)
         bucket_rows = (
             partials_ds
             .repartition(num_blocks=max(8, n_cpus * 2),
@@ -203,26 +226,31 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
                          batch_format="pyarrow", zero_copy_batch=True)
             .repartition(num_blocks=min(cfg.num_buckets, max(4, n_cpus)),
                          keys=["bucket"])
-            .map_batches(FinalizeBucket,
-                         fn_constructor_args=(seg_dir, dict_dir),
+            .map_batches(finalize_buckets_task,
+                         fn_kwargs=dict(seg_dir=seg_dir, dict_dir=dict_dir),
                          batch_size=None, batch_format="pyarrow",
-                         zero_copy_batch=True,
-                         concurrency=_actor_concurrency())
+                         zero_copy_batch=True)
             .take_all()
         )
+        _mark("segments")
         man.record_buckets(bucket_rows)
         man.mark_done("segments", n_buckets=len(man.data["buckets"]))
 
     # -- stage: finalize sidecars ----------------------------------------
     if not man.done("finalize"):
         write_stats(out_dir, stats)
-        man.mark_done("finalize")
+        man.mark_done("finalize", stage_seconds=_metrics)
+    stats["stage_seconds"] = _metrics
     return stats
 
 
-def _actor_concurrency() -> tuple[int, int]:
+def _actor_concurrency() -> int:
+    """Fixed-size actor pools: the autoscaling (1, n) form ramps up too
+    slowly to saturate the machine within a stage's lifetime.  Leave two
+    CPUs for the upstream read/write tasks, or the pool starves them and
+    the pipeline deadlocks."""
     n = max(1, int(ray.cluster_resources().get("CPU", 4)))
-    return (1, n)
+    return max(1, n - 2)
 
 
 def _clean(path: str) -> None:

@@ -214,6 +214,28 @@ def events_by_type(sf_dir: str) -> pa.Table:
     }).sort_by([("event_type", "ascending")])
 
 
+def events_json(sf_dir: str) -> pa.Table:
+    """F6: JSON scalar extraction inside map_batches (props -> k)."""
+    import json as _json
+
+    from ray.data.aggregate import Count, Sum
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p)["k"]) for p in
+              batch.column("props").to_pylist()]
+        return pa.table({"event_type": batch.column("event_type"),
+                         "k": pa.array(ks, pa.int64())})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "props"]) \
+        .map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = _collect(ds.groupby("event_type").aggregate(Count(), Sum("k")))
+    return pa.table({"event_type": tbl.column("event_type"),
+                     "n_events": tbl.column("count()"),
+                     "sum_k": tbl.column("sum(k)")}) \
+        .sort_by([("event_type", "ascending")])
+
+
 def transcripts_bm25(sf_dir: str) -> pa.Table:
     """Flagship over SYNTHETIC transcripts (full E1: docID assignment,
     salting, merge; E2: WAND).  sf_dir scales the corpus size."""
@@ -329,6 +351,10 @@ FROM sims QUALIFY rank <= 10 ORDER BY query_id, rank""",
 SELECT event_type, count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS total_value
 FROM events GROUP BY event_type ORDER BY event_type""",
+    "events_json": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type""",
 }
 
 QUERIES = {
@@ -348,5 +374,6 @@ QUERIES = {
     "knn_ivf": knn_ivf_q,             # rows-only (approximate)
     "media_features": media_features,  # rows-only (stubbed decode)
     "events_by_type": events_by_type,
+    "events_json": events_json,
     "transcripts_bm25": transcripts_bm25,  # rows-only (synthetic corpus)
 }

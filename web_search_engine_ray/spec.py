@@ -98,6 +98,7 @@ class EngineConfig:
     tokenize_batch_size: int = 8192
     checkpoint_partials: bool = True
     materialize_partials: bool = True  # False at extreme scale: stream to ckpt, re-read
+    indexer_actor_pool: bool = False   # True: A1 as an actor pool (long-lived builds)
 
     def config_hash(self) -> str:
         payload = repr(sorted(asdict(self).items())).encode()

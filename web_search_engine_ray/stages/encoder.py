@@ -208,7 +208,22 @@ class FinalizeBucket:
                 "path": seg_path}
 
 
+_FINALIZE_CACHE: dict = {}
+
+
+def finalize_buckets_task(batch: pa.Table, *, seg_dir: str,
+                          dict_dir: str) -> pa.Table:
+    """Task-execution form of FinalizeBucket (per-worker singleton)."""
+    key = (seg_dir, dict_dir)
+    inst = _FINALIZE_CACHE.get(key)
+    if inst is None:
+        _FINALIZE_CACHE.clear()
+        inst = _FINALIZE_CACHE[key] = FinalizeBucket(seg_dir, dict_dir)
+    return inst(batch)
+
+
 def _atomic_write_parquet(tbl: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     pq.write_table(tbl, tmp, compression="zstd")
     os.replace(tmp, path)

@@ -387,6 +387,60 @@ class QueryScorer:
         })
 
 
+class MemoryIndex:
+    """A fully in-memory index over a small (doc_id, text) table, duck-
+    typed to IndexReader's scoring surface — used for embedded/unit use
+    and the randomized WAND conformance suite (SURVEY.md §5.2): it goes
+    through the REAL codec (encode_postings) so block-max metadata and
+    window decode paths are exercised without a Ray build."""
+
+    def __init__(self, corpus: pa.Table):
+        from collections import Counter, defaultdict
+        texts = corpus.column("text").to_pylist()
+        doc_ids = corpus.column("doc_id").to_pylist()
+        post: dict[str, list] = defaultdict(list)
+        max_doc = max(doc_ids) if doc_ids else 0
+        self.doc_lens = np.zeros(max_doc + 1, dtype=np.float64)
+        total = 0
+        for d, text in sorted(zip(doc_ids, texts)):
+            toks = tokenize(text)
+            self.doc_lens[d] = len(toks)
+            total += len(toks)
+            for t, tf in Counter(toks).items():
+                post[t].append((d, tf))
+        self.N = float(len(doc_ids))
+        self.avgdl = total / self.N if self.N else 0.0
+        self.dl_min = max(1.0, float(min((x for x in self.doc_lens if x > 0),
+                                         default=1.0)))
+        self._enc: dict[str, codec.EncodedPostings] = {}
+        self.dictionary: dict[str, tuple[int, int, int, int]] = {}
+        for t, plist in post.items():
+            docs = np.array([p[0] for p in plist], dtype=np.int64)
+            tfs = np.array([p[1] for p in plist], dtype=np.int64)
+            enc = self._enc[t] = codec.encode_postings(docs, tfs)
+            self.dictionary[t] = (0, enc.n, int(tfs.sum()), enc.max_tf)
+        self._decoded_cache: dict[str, tuple] = {}
+
+    def postings(self, term: str):
+        return self._enc.get(term)
+
+    def decoded(self, term: str):
+        enc = self._enc.get(term)
+        if enc is None:
+            return None
+        if term not in self._decoded_cache:
+            self._decoded_cache[term] = codec.decode_postings(
+                enc.doc_bytes, enc.tf_bytes, enc.n)
+        return self._decoded_cache[term]
+
+    def idf(self, term: str) -> float:
+        entry = self.dictionary.get(term)
+        return idf_fn(self.N, float(entry[1])) if entry else 0.0
+
+    def topk(self, query: str, k: int = 10):
+        return wand_topk(self, query, k)
+
+
 class OracleScorer:
     """A4 (test-only): naive exhaustive BM25 straight from a corpus table —
     shares no index/codec code with the engine; used to pin rank-identity.
