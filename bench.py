@@ -20,6 +20,10 @@ import sys
 import time
 
 BENCH_CONVS = int(os.environ.get("WSE_BENCH_CONVS", "60000"))
+# The scaling criterion needs enough work that the parallel compute
+# dominates constant costs (job startup, driver-side offsets/cumsum,
+# sidecar writes) at BOTH parallelism levels — a larger corpus.
+SCALING_CONVS = int(os.environ.get("WSE_SCALING_CONVS", "150000"))
 BENCH_CORPUS = f"/tmp/wse_bench_corpus_{BENCH_CONVS}"
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -33,18 +37,18 @@ def _init_ray(num_cpus: int):
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
-def ensure_corpus() -> str:
+def ensure_corpus(n_convs: int = BENCH_CONVS) -> str:
     """Generate the deterministic bench corpus once (multi-file parquet)."""
-    done = os.path.join(BENCH_CORPUS, "_DONE")
+    path = f"/tmp/wse_bench_corpus_{n_convs}"
+    done = os.path.join(path, "_DONE")
     if os.path.exists(done):
-        return BENCH_CORPUS
+        return path
     from web_search_engine_ray.sources.transcripts import gen_transcripts
-    shutil.rmtree(BENCH_CORPUS, ignore_errors=True)
-    gen_transcripts(BENCH_CONVS, override_num_blocks=64) \
-        .write_parquet(BENCH_CORPUS)
+    shutil.rmtree(path, ignore_errors=True)
+    gen_transcripts(n_convs, override_num_blocks=64).write_parquet(path)
     with open(done, "w") as f:
         f.write("ok")
-    return BENCH_CORPUS
+    return path
 
 
 def build_and_query(corpus_path: str, out_dir: str) -> dict:
@@ -133,7 +137,7 @@ def main_bench() -> None:
 def _scaling_child(num_cpus: int) -> dict:
     """Entry for a fresh-process scaling run (same corpus, fixed cpus)."""
     _init_ray(num_cpus)
-    corpus = ensure_corpus()
+    corpus = ensure_corpus(SCALING_CONVS)
     res = build_and_query(corpus, f"/tmp/wse_bench_idx_{num_cpus}")
     import ray
     ray.shutdown()
@@ -143,7 +147,7 @@ def _scaling_child(num_cpus: int) -> dict:
 def main_scaling() -> None:
     # generate the corpus up front so both children read identical input
     _init_ray(NUM_CPUS)
-    ensure_corpus()
+    ensure_corpus(SCALING_CONVS)
     import ray
     ray.shutdown()
     results = {}
@@ -165,7 +169,7 @@ def main_scaling() -> None:
         "thru_8cpu_turns_per_sec": thru8,
         "thru_32cpu_turns_per_sec": thru32,
         "detail": results,
-        "bench_corpus_convs": BENCH_CONVS,
+        "bench_corpus_convs": SCALING_CONVS,
     }))
 
 
