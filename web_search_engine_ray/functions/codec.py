@@ -136,6 +136,79 @@ def decode_postings(doc_bytes: bytes, tf_bytes: bytes, n: int) -> tuple[np.ndarr
     return doc_ids, tfs
 
 
+def encode_runs(doc_ids: np.ndarray, tfs: np.ndarray, starts: np.ndarray,
+                ends: np.ndarray, block_size: int = BLOCK_SIZE) -> dict:
+    """Encode MANY doc-sorted posting runs in one vectorized pass.
+
+    Input is a term-major batch layout: ``doc_ids``/``tfs`` sorted by
+    (run, doc_id) with run r occupying [starts[r], ends[r]).  This is
+    the A1 fast path: one varbyte pass over the whole batch instead of
+    one encode call per term, so per-batch mini posting lists cost
+    ~O(postings) regardless of vocabulary size, and the merge shuffle
+    moves ~2 B/posting instead of ~25 B/posting of raw rows.
+
+    Returns aligned per-run columns: doc_bytes, tf_bytes (list[bytes]),
+    n, first_doc, last_doc, max_tf, cf (np arrays), block_last_doc,
+    block_max_tf, block_off_docs, block_off_tfs (list[list]).
+    """
+    n_runs = len(starts)
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    # deltas, absolute at each run start
+    d = np.empty_like(doc_ids)
+    if len(doc_ids):
+        d[1:] = doc_ids[1:] - doc_ids[:-1]
+    d[starts] = doc_ids[starts]
+    in_run = np.ones(len(doc_ids), dtype=bool)
+    in_run[starts] = False
+    if (d[in_run] <= 0).any():
+        raise ValueError("duplicate or unsorted doc_id within a run — "
+                         "run exact dedup (D1) before indexing")
+    nb_d = varbyte_nbytes(d.astype(np.uint64))
+    doc_buf = varbyte_encode(d)
+    nb_t = varbyte_nbytes(tfs.astype(np.uint64))
+    tf_buf = varbyte_encode(tfs)
+    cum_d = np.concatenate(([0], np.cumsum(nb_d)))
+    cum_t = np.concatenate(([0], np.cumsum(nb_t)))
+    counts = ends - starts
+    cf = np.add.reduceat(tfs, starts) if len(tfs) else np.empty(0, np.int64)
+    max_tf = (np.maximum.reduceat(tfs, starts) if len(tfs)
+              else np.empty(0, np.int64))
+    doc_bytes: list[bytes] = []
+    tf_bytes: list[bytes] = []
+    bl_last: list[list] = []
+    bl_max: list[list] = []
+    bl_offd: list[list] = []
+    bl_offt: list[list] = []
+    mv_d = memoryview(doc_buf)
+    mv_t = memoryview(tf_buf)
+    for r in range(n_runs):
+        s, e = int(starts[r]), int(ends[r])
+        doc_bytes.append(bytes(mv_d[cum_d[s]:cum_d[e]]))
+        tf_bytes.append(bytes(mv_t[cum_t[s]:cum_t[e]]))
+        if counts[r] <= block_size:
+            bl_last.append([int(doc_ids[e - 1])])
+            bl_max.append([int(max_tf[r])])
+            bl_offd.append([0])
+            bl_offt.append([0])
+        else:  # rare within one batch (hot terms) — exact per-block meta
+            bstarts = np.arange(s, e, block_size)
+            bends = np.minimum(bstarts + block_size, e)
+            bl_last.append(doc_ids[bends - 1].tolist())
+            bl_max.append(np.maximum.reduceat(tfs[s:e], bstarts - s).tolist())
+            bl_offd.append((cum_d[bstarts] - cum_d[s]).tolist())
+            bl_offt.append((cum_t[bstarts] - cum_t[s]).tolist())
+    return {
+        "doc_bytes": doc_bytes, "tf_bytes": tf_bytes,
+        "n": counts.astype(np.int64),
+        "first_doc": doc_ids[starts] if len(doc_ids) else np.empty(0, np.int64),
+        "last_doc": doc_ids[ends - 1] if len(doc_ids) else np.empty(0, np.int64),
+        "max_tf": max_tf, "cf": cf,
+        "block_last_doc": bl_last, "block_max_tf": bl_max,
+        "block_off_docs": bl_offd, "block_off_tfs": bl_offt,
+    }
+
+
 def _first_varint_len(buf: bytes) -> int:
     i = 0
     while buf[i] >= 128:

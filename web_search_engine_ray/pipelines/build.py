@@ -60,13 +60,32 @@ def filter_turns(ds: "ray.data.Dataset", expr: str) -> "ray.data.Dataset":
     return ds.filter(expr=expr)
 
 
-def transcripts_to_corpus(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+_SMALL_INPUT_ROWS = 20_000_000
+
+
+def _parquet_num_rows(path: str) -> int:
+    import glob
+    import pyarrow.parquet as pq
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) \
+        if os.path.isdir(path) else [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def transcripts_to_corpus(ds: "ray.data.Dataset",
+                          path: str | None = None) -> "ray.data.Dataset":
     """Assign deterministic dense doc_id (O1/O2) to a transcripts Dataset.
 
-    One small conv-level groupby instead of a full-data sort shuffle —
-    see conversation_offsets for why this is equivalent.
+    A small conv-level reduce instead of a full-data sort shuffle — see
+    conversation_offsets for why this is equivalent.  For small parquet
+    inputs the reduce runs driver-side (cheaper than a Ray job); the
+    distributed path takes over past _SMALL_INPUT_ROWS.
     """
-    offsets, _n = conversation_offsets(ds)
+    from web_search_engine_ray.stages.indexer import \
+        conversation_offsets_from_parquet
+    if path is not None and _parquet_num_rows(path) <= _SMALL_INPUT_ROWS:
+        offsets, _n = conversation_offsets_from_parquet(path)
+    else:
+        offsets, _n = conversation_offsets(ds)
     offsets_ref = ray.put(offsets)
     return ds.map_batches(make_assign_doc_ids(offsets_ref),
                           batch_format="pyarrow", zero_copy_batch=True)
@@ -104,12 +123,14 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
     def corpus_ds() -> "ray.data.Dataset":
         if not _cache:
             ds = read_transcripts(corpus) if isinstance(corpus, str) else corpus
+            plain_path = (corpus if isinstance(corpus, str)
+                          and not filter_expr and not dedup else None)
             if filter_expr:
                 ds = filter_turns(ds, filter_expr)
             if dedup:
                 ds = dedup_turns(ds)
             if input_kind == "transcripts":
-                ds = transcripts_to_corpus(ds)
+                ds = transcripts_to_corpus(ds, path=plain_path)
             _cache.append(ds)
         return _cache[0]
 
@@ -126,9 +147,20 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
 
     # -- stage: stats (from the doc_table checkpoint — column-pruned) -----
     if not man.done("stats"):
-        from ray.data.aggregate import Count, Max, Min, Sum
-        agg = ray.data.read_parquet(doc_dir, columns=["doc_id", "doc_len"]) \
-            .aggregate(Count(), Sum("doc_len"), Min("doc_len"), Max("doc_id"))
+        if _parquet_num_rows(doc_dir) <= _SMALL_INPUT_ROWS:
+            import pyarrow.dataset as pads
+            tbl = pads.dataset(doc_dir, format="parquet").to_table(
+                columns=["doc_id", "doc_len"])
+            dl = tbl.column("doc_len").to_numpy()
+            agg = {"count()": len(dl), "sum(doc_len)": int(dl.sum()),
+                   "min(doc_len)": int(dl.min()) if len(dl) else 1,
+                   "max(doc_id)": int(tbl.column("doc_id").to_numpy().max())
+                   if len(dl) else -1}
+        else:
+            from ray.data.aggregate import Count, Max, Min, Sum
+            agg = ray.data.read_parquet(doc_dir, columns=["doc_id", "doc_len"]) \
+                .aggregate(Count(), Sum("doc_len"), Min("doc_len"),
+                           Max("doc_id"))
         n_docs = int(agg["count()"])
         total_tokens = int(agg["sum(doc_len)"] or 0)
         stats = {
@@ -151,7 +183,12 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
 
     # -- stage: hot terms (G6) --------------------------------------------
     if not man.done("hot_terms"):
-        hot = sorted(detect_hot_terms(corpus_ds(), cfg, n_docs))
+        if isinstance(corpus, str) and not filter_expr and not dedup:
+            from web_search_engine_ray.stages.indexer import \
+                detect_hot_terms_from_parquet
+            hot = sorted(detect_hot_terms_from_parquet(corpus, cfg))
+        else:
+            hot = sorted(detect_hot_terms(corpus_ds(), cfg, n_docs))
         _mark("hot_terms")
         man.mark_done("hot_terms", hot_terms=hot)
     hot_terms = set(man.data["stages"]["hot_terms"]["hot_terms"])
@@ -212,26 +249,39 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
             _clean(seg_dir)
             _clean(dict_dir)
         n_cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
-        from ray.data.context import ShuffleStrategy
-        partials_ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        # cap shuffle aggregator actors so the two shuffle operators plus
-        # the finalize pool never starve each other (deadlock otherwise):
-        # budget ~n/4 per shuffle + n/4 finalize actors + task headroom
-        partials_ds.context.max_hash_shuffle_aggregators = max(2, n_cpus // 4)
-        bucket_rows = (
-            partials_ds
-            .repartition(num_blocks=max(8, n_cpus * 2),
-                         keys=["bucket", "salt"])
-            .map_batches(encode_partition, batch_size=None,
-                         batch_format="pyarrow", zero_copy_batch=True)
-            .repartition(num_blocks=min(cfg.num_buckets, max(4, n_cpus)),
-                         keys=["bucket"])
-            .map_batches(finalize_buckets_task,
-                         fn_kwargs=dict(seg_dir=seg_dir, dict_dir=dict_dir),
-                         batch_size=None, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .take_all()
-        )
+        if cfg.merge_strategy == "direct":
+            # raw-task hash exchange: same semantics, no aggregator-actor
+            # coordination cost (see stages/exchange.py for the rationale
+            # and when to prefer the Dataset hash-shuffle instead)
+            from ray.data.dataset import MaterializedDataset
+
+            from web_search_engine_ray.stages.exchange import direct_merge
+            if not isinstance(partials_ds, MaterializedDataset):
+                partials_ds = partials_ds.materialize()
+            bucket_rows = direct_merge(partials_ds, seg_dir, dict_dir,
+                                       cfg.salt_s, n_cpus)
+        else:
+            from ray.data.context import ShuffleStrategy
+            partials_ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            # cap aggregator actors so the two shuffle operators never
+            # starve each other or the map tasks (deadlock otherwise)
+            partials_ds.context.max_hash_shuffle_aggregators = \
+                max(2, n_cpus // 4)
+            bucket_rows = (
+                partials_ds
+                .repartition(num_blocks=max(8, n_cpus * 2),
+                             keys=["bucket", "salt"])
+                .map_batches(encode_partition, batch_size=None,
+                             batch_format="pyarrow", zero_copy_batch=True)
+                .repartition(num_blocks=min(cfg.num_buckets, max(4, n_cpus)),
+                             keys=["bucket"])
+                .map_batches(finalize_buckets_task,
+                             fn_kwargs=dict(seg_dir=seg_dir,
+                                            dict_dir=dict_dir),
+                             batch_size=None, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .take_all()
+            )
         _mark("segments")
         man.record_buckets(bucket_rows)
         man.mark_done("segments", n_buckets=len(man.data["buckets"]))

@@ -99,6 +99,7 @@ class EngineConfig:
     checkpoint_partials: bool = True
     materialize_partials: bool = True  # False at extreme scale: stream to ckpt, re-read
     indexer_actor_pool: bool = False   # True: A1 as an actor pool (long-lived builds)
+    merge_strategy: str = "direct"     # "direct" (raw-task exchange) | "hash_shuffle"
 
     def config_hash(self) -> str:
         payload = repr(sorted(asdict(self).items())).encode()

@@ -1,9 +1,10 @@
 """Merge + encode stages (G3, A2, S3): the big shuffle.
 
-Level 1: ``partials.groupby(["bucket","salt"]).map_groups(encode_group)``
-— per (bucket, salt) group, sort postings by (term, doc_id) and
-varbyte/delta-encode each term's run.  Hot terms arrive pre-split into
-doc-range salts so no single group is unbounded (SURVEY.md §4.3).
+Level 1: partials arrive as per-batch ENCODED posting runs (A1 emits
+them); ``repartition(keys=["bucket","salt"]) -> encode_partition``
+merges each (term, salt)'s runs into one posting list.  Hot terms
+arrive pre-split into doc-range salts so no single group is unbounded
+(SURVEY.md §4.3).
 
 Level 2: ``.groupby("bucket").map_groups(FinalizeBucket)`` — splice each
 hot term's salt runs back into one posting list via the O(1)-per-boundary
@@ -85,49 +86,94 @@ def _empty_cols() -> dict:
     return {name: [] for name in SEGMENT_SCHEMA.names}
 
 
-def encode_partition(batch: pa.Table) -> pa.Table:
-    """One hash partition of partials (whole (term, salt) groups are
-    co-located by ``repartition(keys=["bucket","salt"])``) -> encoded
-    posting runs, one row per (term, salt).
+def _binary_col_views(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64[n+1], data uint8[...]) views of a LargeBinary array."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    off = off[arr.offset:arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return off, data
 
-    Used as ``map_batches(encode_partition, batch_size=None)`` after a
-    HASH_SHUFFLE repartition — a streaming hash exchange, cheaper than a
-    sort-based groupby at every scale (no global sort of 10^12 posting
-    rows; ordering is re-established per partition below).
+
+def encode_partition(batch: pa.Table) -> pa.Table:
+    """Merge one hash partition of per-batch posting RUNS (whole
+    (term, salt) groups co-located by ``repartition(keys=["bucket",
+    "salt"])``) into one encoded posting list per (term, salt).
+
+    Fully vectorized: ONE varbyte decode over the partition's
+    concatenated doc/tf byte streams, per-run cumsum reconstruction,
+    one ``encode_runs`` re-encode.  Re-encoding makes the final segment
+    bytes a pure function of (corpus, config) — independent of input
+    batching and worker count (determinism A.6 across cluster sizes).
     """
     if batch.num_rows == 0:
         return pa.table(_empty_cols(), schema=SEGMENT_SCHEMA)
     idx = pa.compute.sort_indices(
         batch, sort_keys=[("term", "ascending"), ("salt", "ascending"),
-                          ("doc_id", "ascending")])
-    t = batch.take(idx)
+                          ("first_doc", "ascending")])
+    t = batch.take(idx).combine_chunks()
     terms = t.column("term").to_pandas().to_numpy()
     salts = t.column("salt").to_numpy()
     buckets = t.column("bucket").to_numpy()
-    doc_ids = t.column("doc_id").to_numpy()
-    tfs = t.column("tf").to_numpy()
+    n_run = t.column("n").to_numpy()
+    # decode every run's doc deltas / tfs in one pass each
+    d_off, d_data = _binary_col_views(t.column("doc_bytes"))
+    t_off, t_data = _binary_col_views(t.column("tf_bytes"))
+    deltas = codec.varbyte_decode(
+        d_data[d_off[0]:d_off[-1]].tobytes()).astype(np.int64)
+    tfs = codec.varbyte_decode(
+        t_data[t_off[0]:t_off[-1]].tobytes()).astype(np.int64)
+    total = int(n_run.sum())
+    if len(deltas) != total or len(tfs) != total:
+        raise ValueError("corrupt posting runs (value count mismatch)")
+    # reconstruct doc ids: per-run cumsum with absolute first value
+    vstarts = np.concatenate(([0], np.cumsum(n_run)[:-1])).astype(np.int64)
+    g = np.cumsum(deltas)
+    base = g[vstarts] - deltas[vstarts]
+    docs = g - np.repeat(base, n_run)
+    # (term, salt) group boundaries, in run space and value space
     change = np.flatnonzero((terms[1:] != terms[:-1])
                             | (salts[1:] != salts[:-1])) + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(terms)]))
-    cols = _empty_cols()
-    for s, e in zip(starts, ends):
-        d = doc_ids[s:e]
-        f = tfs[s:e]
-        if len(d) > 1 and (d[1:] <= d[:-1]).any():
-            raise ValueError(f"duplicate doc_id for term {terms[s]!r} — "
-                             "run exact dedup (D1) before indexing")
-        enc = codec.encode_postings(d, f)
-        _encoded_to_columns(str(terms[s]), int(buckets[s]), int(salts[s]),
-                            enc, cols)
-        cols["cf"][-1] = int(f.sum())
-    return pa.table(cols, schema=SEGMENT_SCHEMA)
-
-
-def encode_group(group: pa.Table) -> pa.Table:
-    """groupby(["bucket","salt"]).map_groups form of encode_partition
-    (kept for the sort-shuffle fallback path)."""
-    return encode_partition(group)
+    gr_starts = np.concatenate(([0], change))
+    gr_ends = np.concatenate((change, [len(terms)]))
+    v_ends_all = np.concatenate((vstarts[1:], [total]))
+    gv_starts = vstarts[gr_starts]
+    gv_ends = v_ends_all[gr_ends - 1]
+    # runs are doc-range ordered (sorted by first_doc); verify strict
+    # monotonicity inside each group, repair out-of-order groups
+    interior = np.ones(total, dtype=bool)
+    interior[gv_starts] = False
+    bad = np.flatnonzero((docs[1:] <= docs[:-1]) & interior[1:]) + 1
+    if len(bad):
+        bad_groups = np.unique(np.searchsorted(gv_starts, bad, "right") - 1)
+        for gi in bad_groups:
+            s, e = int(gv_starts[gi]), int(gv_ends[gi])
+            order = np.argsort(docs[s:e], kind="stable")
+            docs[s:e] = docs[s:e][order]
+            tfs[s:e] = tfs[s:e][order]
+            if (np.diff(docs[s:e]) <= 0).any():
+                raise ValueError(
+                    f"duplicate doc_id for term {terms[gr_starts[gi]]!r} — "
+                    "run exact dedup (D1) before indexing")
+    enc = codec.encode_runs(docs, tfs, gv_starts, gv_ends)
+    first_runs = gr_starts
+    return pa.table({
+        "term": pa.array(terms[first_runs], pa.string()),
+        "bucket": pa.array(buckets[first_runs], pa.int32()),
+        "salt": pa.array(salts[first_runs], pa.int32()),
+        "df": pa.array(enc["n"], pa.int64()),
+        "cf": pa.array(enc["cf"], pa.int64()),
+        "n": pa.array(enc["n"], pa.int64()),
+        "first_doc": pa.array(enc["first_doc"], pa.int64()),
+        "last_doc": pa.array(enc["last_doc"], pa.int64()),
+        "max_tf": pa.array(enc["max_tf"].astype(np.int32), pa.int32()),
+        "doc_bytes": pa.array(enc["doc_bytes"], pa.large_binary()),
+        "tf_bytes": pa.array(enc["tf_bytes"], pa.large_binary()),
+        "block_last_doc": pa.array(enc["block_last_doc"], pa.list_(pa.int64())),
+        "block_max_tf": pa.array(enc["block_max_tf"], pa.list_(pa.int32())),
+        "block_off_docs": pa.array(enc["block_off_docs"], pa.list_(pa.int64())),
+        "block_off_tfs": pa.array(enc["block_off_tfs"], pa.list_(pa.int64())),
+    }, schema=SEGMENT_SCHEMA)
 
 
 class FinalizeBucket:

@@ -22,6 +22,35 @@ from web_search_engine_ray.spec import EngineConfig, term_bucket
 # --- O1/O2: deterministic dense doc_id ----------------------------------
 
 
+def conversation_offsets_from_parquet(path: str) -> tuple[dict[str, int], int]:
+    """Small-input fast path: read only (conv_id, turn_idx) columns with
+    pyarrow on the driver — cheaper than a Ray job below ~20M rows.
+    Same validation + prefix-sum semantics as conversation_offsets."""
+    import pyarrow.dataset as pads
+    tbl = pads.dataset(path, format="parquet").to_table(
+        columns=["conv_id", "turn_idx"])
+    g = pd.DataFrame({
+        "conv_id": tbl.column("conv_id").to_pandas(),
+        "turn_idx": tbl.column("turn_idx").to_numpy(),
+    }).groupby("conv_id", sort=False)["turn_idx"].agg(["count", "min", "max"])
+    return _offsets_from_conv(g.index.to_numpy(), g["count"].to_numpy(),
+                              g["min"].to_numpy(), g["max"].to_numpy())
+
+
+def _offsets_from_conv(conv_ids: np.ndarray, n_turns: np.ndarray,
+                       mn: np.ndarray, mx: np.ndarray) -> tuple[dict, int]:
+    if not ((mn == 0).all() and (mx == n_turns - 1).all()):
+        bad = conv_ids[(mn != 0) | (mx != n_turns - 1)][0]
+        raise ValueError(
+            f"turn_idx not dense 0..n-1 for conv_id={bad!r}; "
+            "dedup/repair input before indexing (SURVEY.md D1)")
+    order = np.argsort(conv_ids, kind="stable")
+    conv_sorted = conv_ids[order]
+    sizes = n_turns[order]
+    offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    return dict(zip(conv_sorted.tolist(), offsets.tolist())), int(sizes.sum())
+
+
 def conversation_offsets(ds: "ray.data.Dataset") -> tuple[dict[str, int], int]:
     """Per-conversation docID offsets via conv-level prefix sums.
 
@@ -58,19 +87,9 @@ def conversation_offsets(ds: "ray.data.Dataset") -> tuple[dict[str, int], int]:
     allp = pa.concat_tables(partial_tbls).to_pandas()
     conv = allp.groupby("conv_id", sort=False).agg(
         n=("n", "sum"), mx=("mx", "max"), mn=("mn", "min")).reset_index()
-    n_turns = conv["n"].to_numpy()
-    mx = conv["mx"].to_numpy()
-    mn = conv["mn"].to_numpy()
-    if not ((mn == 0).all() and (mx == n_turns - 1).all()):
-        bad = conv[(mn != 0) | (mx != n_turns - 1)]["conv_id"].iloc[0]
-        raise ValueError(
-            f"turn_idx not dense 0..n-1 for conv_id={bad!r}; "
-            "dedup/repair input before indexing (SURVEY.md D1)")
-    order = np.argsort(conv["conv_id"].to_numpy(), kind="stable")
-    conv_sorted = conv["conv_id"].to_numpy()[order]
-    sizes = n_turns[order]
-    offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
-    return dict(zip(conv_sorted.tolist(), offsets.tolist())), int(sizes.sum())
+    return _offsets_from_conv(conv["conv_id"].to_numpy(),
+                              conv["n"].to_numpy(), conv["mn"].to_numpy(),
+                              conv["mx"].to_numpy())
 
 
 def make_assign_doc_ids(offsets_ref):
@@ -99,6 +118,40 @@ def doc_table_batch(batch: pa.Table) -> pa.Table:
 
 
 # --- G6: hot-term detection ---------------------------------------------
+
+
+def detect_hot_terms_from_parquet(path: str, cfg: EngineConfig) -> set[str]:
+    """Small-input fast path for G6: read the first hot_sample_docs rows
+    (lexicographic file order — deterministic) on the driver, no Ray job.
+    The sample definition differs from the Dataset path (first rows vs
+    doc_id < n) but both are pinned, deterministic heuristics."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from web_search_engine_ray.spec import TOKEN_RE
+    files = sorted(_glob.glob(_os.path.join(path, "*.parquet"))) \
+        if _os.path.isdir(path) else [path]
+    df_counts: dict[str, int] = {}
+    seen = 0
+    for f in files:
+        if seen >= cfg.hot_sample_docs:
+            break
+        for rb in _pq.ParquetFile(f).iter_batches(columns=["text"],
+                                                  batch_size=8192):
+            for txt in rb.column(0).to_pylist():
+                for t in set(TOKEN_RE.findall(txt.lower())):
+                    df_counts[t] = df_counts.get(t, 0) + 1
+                seen += 1
+                if seen >= cfg.hot_sample_docs:
+                    break
+            if seen >= cfg.hot_sample_docs:
+                break
+    if seen == 0:
+        return set()
+    threshold = cfg.hot_df_ratio * seen
+    return {t for t, c in df_counts.items() if c > threshold}
 
 
 def detect_hot_terms(corpus_ds: "ray.data.Dataset", cfg: EngineConfig,
@@ -179,26 +232,54 @@ class PartitionIndexer:
         return inst(batch)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Emit per-batch ENCODED posting runs (the in-memory mini index
+        of this partition, varbyte-compressed) — one row per (term,
+        salt) present in the batch, SEGMENT_SCHEMA.  The merge shuffle
+        therefore moves ~2 B/posting instead of ~25 B/posting rows."""
+        from web_search_engine_ray.functions.codec import encode_runs
+        from web_search_engine_ray.stages.encoder import (SEGMENT_SCHEMA,
+                                                          _empty_cols)
         doc_ids, terms, tfs, _dls = batch_postings(
             batch.column("doc_id").to_numpy(), batch.column("text").to_pylist())
         if len(doc_ids) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "term": pa.array([], pa.string()),
-                             "tf": pa.array([], pa.int64()),
-                             "bucket": pa.array([], pa.int32()),
-                             "salt": pa.array([], pa.int32())})
+            return pa.table(_empty_cols(), schema=SEGMENT_SCHEMA)
         codes, uniques = pd.factorize(np.asarray(terms, dtype=object))
         ubk, uhot = self._buckets_for(uniques)
-        buckets = ubk[codes]
         salts = np.zeros(len(doc_ids), dtype=np.int32)
         hot_rows = uhot[codes]
         if hot_rows.any():
             salts[hot_rows] = (doc_ids[hot_rows] * self.salt_s
                                // self.n_docs).astype(np.int32)
+        # term-major layout: runs are (code, salt) groups, docs ascending
+        order = np.lexsort((doc_ids, salts, codes))
+        codes_s = codes[order]
+        salts_s = salts[order]
+        docs_s = doc_ids[order]
+        tfs_s = tfs[order]
+        change = np.flatnonzero((codes_s[1:] != codes_s[:-1])
+                                | (salts_s[1:] != salts_s[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(codes_s)]))
+        enc = encode_runs(docs_s, tfs_s, starts, ends)
+        run_codes = codes_s[starts]
         return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "term": pa.array(terms, pa.string()),
-            "tf": pa.array(tfs, pa.int64()),
-            "bucket": pa.array(buckets, pa.int32()),
-            "salt": pa.array(salts, pa.int32()),
-        })
+            "term": pa.array(uniques[run_codes], pa.string()),
+            "bucket": pa.array(ubk[run_codes], pa.int32()),
+            "salt": pa.array(salts_s[starts], pa.int32()),
+            "df": pa.array(enc["n"], pa.int64()),
+            "cf": pa.array(enc["cf"], pa.int64()),
+            "n": pa.array(enc["n"], pa.int64()),
+            "first_doc": pa.array(enc["first_doc"], pa.int64()),
+            "last_doc": pa.array(enc["last_doc"], pa.int64()),
+            "max_tf": pa.array(enc["max_tf"].astype(np.int32), pa.int32()),
+            "doc_bytes": pa.array(enc["doc_bytes"], pa.large_binary()),
+            "tf_bytes": pa.array(enc["tf_bytes"], pa.large_binary()),
+            "block_last_doc": pa.array(enc["block_last_doc"],
+                                       pa.list_(pa.int64())),
+            "block_max_tf": pa.array(enc["block_max_tf"],
+                                     pa.list_(pa.int32())),
+            "block_off_docs": pa.array(enc["block_off_docs"],
+                                       pa.list_(pa.int64())),
+            "block_off_tfs": pa.array(enc["block_off_tfs"],
+                                      pa.list_(pa.int64())),
+        }, schema=SEGMENT_SCHEMA)
