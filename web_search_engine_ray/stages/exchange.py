@@ -43,11 +43,14 @@ def _split_by_pid(tbl: pa.Table, pids: np.ndarray, n_parts: int) -> list:
 
 
 @ray.remote
-def _split_runs(block: pa.Table, n_parts: int, salt_s: int):
-    """Map side: route each run to partition (bucket*salt_s + salt) % P."""
-    if block.num_rows == 0:
+def _split_runs(n_parts: int, salt_s: int, *blocks: pa.Table):
+    """Map side: route each run to partition (bucket*salt_s + salt) % P.
+    Takes several input blocks per task (fewer tasks/objects)."""
+    live = [b for b in blocks if b is not None and b.num_rows]
+    if not live:
         empty = pa.table(_empty_cols(), schema=SEGMENT_SCHEMA)
         return tuple([empty] * n_parts) if n_parts > 1 else empty
+    block = pa.concat_tables(live)
     b = block.column("bucket").to_numpy().astype(np.int64)
     s = block.column("salt").to_numpy().astype(np.int64)
     pids = ((b * salt_s + s) % n_parts).astype(np.int64)
@@ -94,11 +97,15 @@ def direct_merge(runs_ds: "ray.data.Dataset", seg_dir: str, dict_dir: str,
                   for ref in bundle.block_refs]
     if not block_refs:
         return []
-    p1 = max(4, n_cpus * 2)
+    p1 = max(4, n_cpus)
     q = max(2, n_cpus // 2)
+    # ~one split task per CPU: coalesce input blocks to bound task/object
+    # counts (n_tasks * p1 intermediate objects)
+    n_split = min(len(block_refs), max(n_cpus, 8))
+    chunks = [block_refs[i::n_split] for i in range(n_split)]
     split_out = [
-        _split_runs.options(num_returns=p1).remote(ref, p1, salt_s)
-        for ref in block_refs
+        _split_runs.options(num_returns=p1).remote(p1, salt_s, *chunk)
+        for chunk in chunks if chunk
     ]
     if p1 == 1:
         split_out = [[r] for r in split_out]

@@ -29,12 +29,13 @@ def conversation_offsets_from_parquet(path: str) -> tuple[dict[str, int], int]:
     import pyarrow.dataset as pads
     tbl = pads.dataset(path, format="parquet").to_table(
         columns=["conv_id", "turn_idx"])
-    g = pd.DataFrame({
-        "conv_id": tbl.column("conv_id").to_pandas(),
-        "turn_idx": tbl.column("turn_idx").to_numpy(),
-    }).groupby("conv_id", sort=False)["turn_idx"].agg(["count", "min", "max"])
-    return _offsets_from_conv(g.index.to_numpy(), g["count"].to_numpy(),
-                              g["min"].to_numpy(), g["max"].to_numpy())
+    g = pa.TableGroupBy(tbl, "conv_id").aggregate(
+        [("turn_idx", "count"), ("turn_idx", "min"), ("turn_idx", "max")])
+    return _offsets_from_conv(
+        np.asarray(g.column("conv_id").to_pandas()),
+        g.column("turn_idx_count").to_numpy().astype(np.int64),
+        g.column("turn_idx_min").to_numpy().astype(np.int64),
+        g.column("turn_idx_max").to_numpy().astype(np.int64))
 
 
 def _offsets_from_conv(conv_ids: np.ndarray, n_turns: np.ndarray,
