@@ -19,7 +19,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from web_search_engine_ray.functions import codec
-from web_search_engine_ray.spec import B, K1, idf as idf_fn, tokenize
+from web_search_engine_ray.spec import (B, BLOCK_SIZE, K1, idf as idf_fn,
+                                        tokenize)
 from web_search_engine_ray.state.manifest import read_stats
 
 
@@ -157,6 +158,11 @@ def exhaustive_topk(reader: IndexReader, query: str, k: int):
         cand.append(docs)
     if not decoded:
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    if len(decoded) == 1:  # single-term: no accumulation array needed
+        t, docs, tfs = decoded[0]
+        scores = _bm25_vec(tfs, reader.doc_lens[docs], reader.avgdl,
+                           reader.idf(t))
+        return _topk_from_arrays(docs, scores, k)
     n_total = sum(len(d) for _, d, _ in decoded)
     n_docs = len(reader.doc_lens)
     if n_total > 0.3 * n_docs:
@@ -264,6 +270,47 @@ class _Cursor:
         return self.cur_doc
 
 
+def _anchor_topk(reader, present: list, rare_cut: float, k: int):
+    """Vectorized rare-anchor scoring: exact scores for every doc that
+    contains at least one rare term; every other doc's score is bounded
+    by the frequent terms' UB sum.  Returns None when the prune bound
+    fails (caller falls back to exhaustive — lossless either way)."""
+    rare_terms = [t for t, e in present if e[1] <= rare_cut]
+    freq_terms = [t for t, e in present if e[1] > rare_cut]
+    cand_parts = []
+    for t in rare_terms:
+        pair = reader.decoded(t)
+        if pair is not None:
+            cand_parts.append(pair[0])
+    if not cand_parts:
+        return None
+    cand = np.unique(np.concatenate(cand_parts))
+    if len(cand) < k:
+        return None                    # heap can't fill from anchors alone
+    scores = np.zeros(len(cand), dtype=np.float64)
+    dls = reader.doc_lens[cand]
+    for t, _e in present:              # lexicographic == pinned sum order
+        pair = reader.decoded(t)
+        if pair is None:
+            continue
+        docs_t, tfs_t = pair
+        pos = np.searchsorted(docs_t, cand)
+        pos_c = np.minimum(pos, len(docs_t) - 1)
+        hit = docs_t[pos_c] == cand
+        scores[hit] += _bm25_vec(tfs_t[pos_c[hit]], dls[hit],
+                                 reader.avgdl, reader.idf(t))
+    kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+    ub_outside = 0.0
+    for t in freq_terms:
+        e = reader.dictionary[t]
+        mtf = float(e[3])
+        ub_outside += reader.idf(t) * mtf / (
+            mtf + K1 * (1.0 - B + B * reader.dl_min / reader.avgdl))
+    if ub_outside >= kth:              # never prune on equality (A.5)
+        return None
+    return _topk_from_arrays(cand, scores, k)
+
+
 def wand_topk(reader: IndexReader, query: str, k: int):
     """Block-max WAND per the pinned contract (spec A.5), vectorized.
 
@@ -277,8 +324,25 @@ def wand_topk(reader: IndexReader, query: str, k: int):
     terms = sorted(set(tokenize(query)))
     present = [(t, reader.dictionary[t]) for t in terms
                if t in reader.dictionary]
-    if present and min(e[1][1] for e in present) >= _DENSE_DF_FRAC * reader.N:
-        return exhaustive_topk(reader, query, k)
+    if present:
+        dfs = [e[1][1] for e in present]
+        min_df, sum_df = min(dfs), sum(dfs)
+        # Path policy (all three paths are lossless — identical results,
+        # conformance-tested; they differ only in cost):
+        #   rare anchor + heavy terms -> vectorized candidate scoring
+        #     with an upper-bound prune (anchor path);
+        #   no selective term / pivot walk too long -> vectorized dense;
+        #   else -> classic windowed block-max WAND pivot walk.
+        wand_iters = sum_df / (BLOCK_SIZE * _WINDOW)
+        rare_cut = reader.N / 1000
+        if min_df <= rare_cut and wand_iters > 1500:
+            res = _anchor_topk(reader, present, rare_cut, k)
+            if res is not None:
+                return res
+            return exhaustive_topk(reader, query, k)
+        if (min_df >= _DENSE_DF_FRAC * reader.N
+                or (min_df > rare_cut and wand_iters > 1500)):
+            return exhaustive_topk(reader, query, k)
     cursors: list[_Cursor] = []
     for t in terms:
         enc = reader.postings(t)
