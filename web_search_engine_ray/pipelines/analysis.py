@@ -176,6 +176,112 @@ def near_dup_pairs(docs: "ray.data.Dataset", docs_path: str,
     })
 
 
+# --- exact n-gram Jaccard (small-scale oracle-checkable variant) ---------
+
+
+def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
+                        threshold: float = 0.5) -> pa.Table:
+    """Exact all-pairs word-shingle Jaccard over a SMALL corpus.
+
+    Shingle sets are computed distributed (map_batches over string
+    shingles — strings, not crc hashes, for exact DuckDB-oracle parity);
+    the pairwise step is driver-side over the collected per-doc sets.
+    The scalable variant of this operation is near_dup_pairs (MinHash
+    LSH candidates + exact verification) — this function is the
+    exhaustive cross-check the oracle can also express.
+    """
+    from web_search_engine_ray.spec import tokenize
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        ids, sets = [], []
+        for d, text in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("text").to_pylist()):
+            toks = tokenize(text)
+            sh = sorted({" ".join(toks[i:i + k])
+                         for i in range(len(toks) - k + 1)}) \
+                if len(toks) >= k else []
+            ids.append(d)
+            sets.append(sh)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shingles": pa.array(sets, pa.list_(pa.string()))})
+
+    collected = pa.concat_tables(list(
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(shingle_sets, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")))
+    ids = collected.column("doc_id").to_pylist()
+    sets = [set(s) for s in collected.column("shingles").to_pylist()]
+    order = np.argsort(ids)
+    a_out, b_out, j_out = [], [], []
+    for ii in range(len(order)):
+        i = order[ii]
+        if not sets[i]:
+            continue
+        for jj in range(ii + 1, len(order)):
+            j = order[jj]
+            if not sets[j]:
+                continue
+            inter = len(sets[i] & sets[j])
+            if inter == 0:
+                continue
+            jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+            if jac >= threshold:
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+                j_out.append(round(jac, 6))
+    return pa.table({"doc_id_a": pa.array(a_out, pa.int64()),
+                     "doc_id_b": pa.array(b_out, pa.int64()),
+                     "jaccard": pa.array(j_out, pa.float64())})
+
+
+# --- embedding-cosine near-dedup -----------------------------------------
+
+
+def embedding_dup_pairs(embeddings: "ray.data.Dataset",
+                        threshold: float = 0.45) -> pa.Table:
+    """All pairs of vectors with cosine >= threshold.
+
+    The full (normalized) matrix is broadcast once via ``ray.put``; each
+    batch does one matmul against it and emits its qualifying pairs —
+    O(N^2) similarity work split across batches with no shuffle.  Scale
+    path: replace the broadcast full matrix with IVF/LSH bucket keys
+    (pipelines/knn.py) so only same-bucket pairs are compared.
+    """
+    from web_search_engine_ray.pipelines.knn import _batch_matrix, _normalize
+    full_tbl = pa.concat_tables(list(
+        embeddings.select_columns(["vec_id", "embedding"])
+        .iter_batches(batch_format="pyarrow")))
+    order = np.argsort(full_tbl.column("vec_id").to_numpy())
+    full_ids = full_tbl.column("vec_id").to_numpy()[order]
+    full_mat = _normalize(_batch_matrix(full_tbl)[order])
+    ref = ray.put((full_ids, full_mat))
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        ids_all, mat_all = ray.get(ref)
+        vec_ids = batch.column("vec_id").to_numpy()
+        m = _normalize(_batch_matrix(batch))
+        sims = m @ mat_all.T
+        rows_a, rows_b, s_out = [], [], []
+        for r in range(sims.shape[0]):
+            hit = np.flatnonzero(sims[r] >= threshold)
+            for c in hit:
+                if ids_all[c] > vec_ids[r]:      # each pair once, a < b
+                    rows_a.append(int(vec_ids[r]))
+                    rows_b.append(int(ids_all[c]))
+                    s_out.append(round(float(sims[r, c]), 6))
+        return pa.table({"vec_id_a": pa.array(rows_a, pa.int64()),
+                         "vec_id_b": pa.array(rows_b, pa.int64()),
+                         "sim": pa.array(s_out, pa.float64())})
+
+    out = pa.concat_tables(list(
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(pairs_batch, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=1024)
+        .iter_batches(batch_format="pyarrow")))
+    return out.sort_by([("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
+
+
 # --- SimHash near-dedup --------------------------------------------------
 
 

@@ -214,6 +214,26 @@ def events_by_type(sf_dir: str) -> pa.Table:
     }).sort_by([("event_type", "ascending")])
 
 
+def ngram_jaccard(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.analysis import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs_ds(sf_dir, ["doc_id", "text"]),
+                               k=3, threshold=0.5)
+
+
+def dedup_embedding(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.analysis import embedding_dup_pairs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=0.45)
+
+
+def events_sessionize(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.sessionize import sessionize
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    return sessionize(ds)
+
+
 def events_json(sf_dir: str) -> pa.Table:
     """F6: JSON scalar extraction inside map_batches (props -> k)."""
     import json as _json
@@ -355,6 +375,47 @@ FROM events GROUP BY event_type ORDER BY event_type""",
 SELECT event_type, count(*)::BIGINT AS n_events,
        sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k
 FROM events GROUP BY event_type ORDER BY event_type""",
+    "ngram_jaccard": """
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') toks
+           FROM documents),
+sh AS (SELECT doc_id, concat_ws(' ', toks[i.i], toks[i.i+1], toks[i.i+2]) AS shingle
+       FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks)-1)) AS i) i
+       WHERE len(toks) >= 3),
+s AS (SELECT DISTINCT doc_id, shingle FROM sh),
+cnt AS (SELECT doc_id, count(*) c FROM s GROUP BY doc_id),
+inter AS (SELECT x.doc_id a, y.doc_id b, count(*) i
+          FROM s x JOIN s y USING (shingle)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a AS doc_id_a, b AS doc_id_b,
+       round(i::DOUBLE / (ca.c + cb.c - i), 6) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5
+ORDER BY 1, 2""",
+    "dedup_embedding": """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS sim
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+ORDER BY 1, 2""",
+    "events_sessionize": """
+WITH gaps AS (SELECT user_id, ts,
+  CASE WHEN lag(ts) OVER w IS NULL
+            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+       THEN 1 ELSE 0 END AS new_s,
+  CASE WHEN lag(ts) OVER w IS NULL
+            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+       THEN 1 ELSE 0 END AS s_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (SELECT user_id, ts,
+         sum(s_start) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM gaps),
+per_sess AS (SELECT user_id, session_id, count(*) sz FROM sess GROUP BY 1, 2)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       sum(sz)::BIGINT AS n_events,
+       max(sz)::BIGINT AS max_session_events
+FROM per_sess GROUP BY user_id ORDER BY user_id""",
 }
 
 QUERIES = {
@@ -375,5 +436,8 @@ QUERIES = {
     "media_features": media_features,  # rows-only (stubbed decode)
     "events_by_type": events_by_type,
     "events_json": events_json,
+    "ngram_jaccard": ngram_jaccard,
+    "dedup_embedding": dedup_embedding,
+    "events_sessionize": events_sessionize,
     "transcripts_bm25": transcripts_bm25,  # rows-only (synthetic corpus)
 }
