@@ -69,3 +69,15 @@ def test_resume_config_change_rebuilds(det_index, tmp_path_factory):
         man = json.load(f)
     assert man["config_hash"] == cfg2.config_hash()
     assert len(man["buckets"]) <= 16
+
+
+def test_deterministic_across_batchings(tmp_path_factory):
+    """Segment bytes are independent of input block layout (and hence of
+    worker count / cluster size): the merge re-encodes canonical posting
+    lists (stages/encoder.py:encode_partition)."""
+    outs = []
+    for blocks in (2, 16):
+        out = str(tmp_path_factory.mktemp("bat") / f"b{blocks}")
+        build_index(gen_transcripts(N_CONVS, override_num_blocks=blocks), out)
+        outs.append(_bucket_hashes(out))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
