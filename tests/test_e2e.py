@@ -113,3 +113,14 @@ def test_tie_break_order(tiny_index, tiny_corpus_table):
             assert docs[i] < docs[i + 1]
         else:
             assert scores[i] > scores[i + 1]
+
+
+def test_sharded_serve_rank_identity(tiny_index, tiny_corpus_table):
+    """Doc-sharded parallel serving (G4 partial heaps) must equal the
+    single-cursor WAND results exactly."""
+    out, _ = tiny_index
+    a = run_queries(out, gen_queries(), k=10, mode="wand")
+    b = run_queries(out, gen_queries(), k=10, mode="sharded")
+    assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
+    assert a.column("score").to_pylist() == b.column("score").to_pylist()
+    assert a.column("rank").to_pylist() == b.column("rank").to_pylist()

@@ -29,23 +29,118 @@ def run_queries(index_dir: str, queries: "ray.data.Dataset | pa.Table",
                 attach_doc_meta: bool = False,
                 concurrency: tuple[int, int] | int | None = None) -> pa.Table:
     """Score queries against the index; returns the results table (T7),
-    sorted by (query_id, rank)."""
+    sorted by (query_id, rank).
+
+    mode="wand" (default): one actor-task per query batch, block-max
+    WAND with the lossless path policy.  mode="sharded": heavy
+    (stopword-class) queries split into doc-range shards scored in
+    parallel (SURVEY.md G4 partial heaps) — rank-identical, pays off
+    when per-query work dwarfs task overhead (very large corpora).
+    The index is loaded once and shared via the object store either way
+    (share_index), so actors never duplicate segment I/O.
+    """
     if isinstance(queries, pa.Table):
-        queries_ds = ray.data.from_arrow(queries)
+        queries_tbl = queries
+        queries_ds = None
     else:
         queries_ds = queries
+        queries_tbl = None
+    n = max(1, int(ray.cluster_resources().get("CPU", 4)))
     if concurrency is None:
-        n = max(1, int(ray.cluster_resources().get("CPU", 4)))
         concurrency = (1, min(n, 16))
-    results = queries_ds.map_batches(
-        QueryScorer, fn_constructor_args=(index_dir, k, mode),
-        batch_format="pyarrow", batch_size=16, concurrency=concurrency,
-    )
-    batches = list(results.iter_batches(batch_format="pyarrow"))
-    tbl = pa.concat_tables(batches) if batches else _empty_results()
+    if mode == "sharded":
+        if queries_tbl is None:
+            queries_tbl = pa.concat_tables(
+                list(queries_ds.iter_batches(batch_format="pyarrow")))
+        tbl = _run_queries_sharded(index_dir, queries_tbl, k, n, concurrency)
+    else:
+        if queries_ds is None:
+            queries_ds = ray.data.from_arrow(queries_tbl)
+        from web_search_engine_ray.stages.scorer import share_index
+        shared = share_index(index_dir)
+        results = queries_ds.map_batches(
+            QueryScorer, fn_constructor_args=(index_dir, k, mode, shared),
+            batch_format="pyarrow", batch_size=16, concurrency=concurrency,
+        )
+        batches = list(results.iter_batches(batch_format="pyarrow"))
+        tbl = pa.concat_tables(batches) if batches else _empty_results()
     if tbl.num_rows and attach_doc_meta:
         tbl = attach_doc_metadata(index_dir, tbl)
     return tbl.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _run_queries_sharded(index_dir: str, queries: pa.Table, k: int,
+                         n_cpus: int, concurrency) -> pa.Table:
+    import numpy as np
+
+    from web_search_engine_ray.state.manifest import read_stats
+    from web_search_engine_ray.stages.scorer import (ShardScorer,
+                                                     plan_query_shards)
+    stats = read_stats(index_dir)
+    n_docs = int(stats["max_doc_id"]) + 1
+    # plan shards per query (driver-side; needs only the term df map)
+    dictionary = _load_dictionary(index_dir)
+    qids, qs, los, his = [], [], [], []
+    for qid, q in zip(queries.column("query_id").to_pylist(),
+                      queries.column("query").to_pylist()):
+        for lo, hi in plan_query_shards(dictionary, n_docs, q,
+                                        max_shards=n_cpus):
+            qids.append(qid)
+            qs.append(q)
+            los.append(lo)
+            his.append(hi)
+    expanded = pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "query": pa.array(qs, pa.string()),
+                         "lo": pa.array(los, pa.int64()),
+                         "hi": pa.array(his, pa.int64())})
+    from web_search_engine_ray.stages.scorer import share_index
+    shared = share_index(index_dir)
+    parts = ray.data.from_arrow(expanded).map_batches(
+        ShardScorer, fn_constructor_args=(index_dir, k, shared),
+        batch_format="pyarrow", batch_size=4, concurrency=concurrency)
+    batches = list(parts.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return _empty_results()
+    cand = pa.concat_tables(batches)
+    # driver-side heap merge: candidates are <= n_queries * shards * k
+    out_q, out_r, out_d, out_s = [], [], [], []
+    qarr = cand.column("query_id").to_numpy()
+    darr = cand.column("doc_id").to_numpy()
+    sarr = cand.column("score").to_numpy()
+    for qid in np.unique(qarr):
+        m = qarr == qid
+        d, s = darr[m], sarr[m]
+        # shards are disjoint doc ranges -> doc_ids unique per query
+        order = np.lexsort((d, -s))[:k]
+        out_q.extend([int(qid)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_d.extend(d[order].tolist())
+        out_s.extend(s[order].tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int32()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "score": pa.array(out_s, pa.float64())})
+
+
+def _load_dictionary(index_dir: str) -> dict:
+    """term -> (bucket, df, cf, max_tf); cached per process."""
+    cache = _load_dictionary.__dict__.setdefault("_cache", {})
+    if index_dir in cache:
+        return cache[index_dir]
+    import glob
+    d: dict = {}
+    for path in sorted(glob.glob(os.path.join(index_dir, "dictionary",
+                                              "*.parquet"))):
+        t = pq.read_table(path)
+        for term, bucket, df, cf, mtf in zip(
+                t.column("term").to_pylist(), t.column("bucket").to_pylist(),
+                t.column("df").to_pylist(), t.column("cf").to_pylist(),
+                t.column("max_tf").to_pylist()):
+            d[term] = (bucket, df, cf, mtf)
+    if len(cache) > 8:
+        cache.clear()
+    cache[index_dir] = d
+    return d
 
 
 def _empty_results() -> pa.Table:

@@ -32,28 +32,46 @@ class IndexReader:
     segment access pattern (columnar row lookup by sorted term) holds.
     """
 
-    def __init__(self, index_dir: str, max_cached_terms: int = 4096):
+    def __init__(self, index_dir: str, max_cached_terms: int = 4096,
+                 shared: "dict | ray.ObjectRef | None" = None):
+        """shared: optional object-store handle from ``share_index`` —
+        dictionary / doc_lens / segment tables are then zero-copy plasma
+        views instead of per-actor disk reads (broadcast-once pattern:
+        on an N-actor pool this saves (N-1)x the index I/O)."""
+        import ray as _ray
         self.index_dir = index_dir
         self.stats = read_stats(index_dir)
         self.N = float(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
         self.dl_min = float(self.stats["dl_min"])
-        # dictionary: term -> (bucket, df, cf, max_tf)
-        self.dictionary: dict[str, tuple[int, int, int, int]] = {}
-        for path in sorted(glob.glob(os.path.join(index_dir, "dictionary", "*.parquet"))):
-            t = pq.read_table(path)
-            for term, bucket, df, cf, mtf in zip(
-                    t.column("term").to_pylist(), t.column("bucket").to_pylist(),
-                    t.column("df").to_pylist(), t.column("cf").to_pylist(),
-                    t.column("max_tf").to_pylist()):
-                self.dictionary[term] = (bucket, df, cf, mtf)
-        # dense doc_len array indexed by doc_id
-        dt = pq.read_table(os.path.join(index_dir, "doc_table"),
-                           columns=["doc_id", "doc_len"])
-        n = int(self.stats["max_doc_id"]) + 1
-        self.doc_lens = np.zeros(max(n, 1), dtype=np.float64)
-        self.doc_lens[dt.column("doc_id").to_numpy()] = \
-            dt.column("doc_len").to_numpy().astype(np.float64)
+        if shared is not None:
+            shared = _ray.get(shared) if isinstance(shared, _ray.ObjectRef) \
+                else shared
+            self.dictionary = _ray.get(shared["dictionary"])
+            self.doc_lens = _ray.get(shared["doc_lens"])
+            self._shared_segments = {b: ref for b, ref in
+                                     shared["segments"].items()}
+        else:
+            self._shared_segments = None
+            # dictionary: term -> (bucket, df, cf, max_tf)
+            self.dictionary = {}
+            for path in sorted(glob.glob(os.path.join(
+                    index_dir, "dictionary", "*.parquet"))):
+                t = pq.read_table(path)
+                for term, bucket, df, cf, mtf in zip(
+                        t.column("term").to_pylist(),
+                        t.column("bucket").to_pylist(),
+                        t.column("df").to_pylist(),
+                        t.column("cf").to_pylist(),
+                        t.column("max_tf").to_pylist()):
+                    self.dictionary[term] = (bucket, df, cf, mtf)
+            # dense doc_len array indexed by doc_id
+            dt = pq.read_table(os.path.join(index_dir, "doc_table"),
+                               columns=["doc_id", "doc_len"])
+            n = int(self.stats["max_doc_id"]) + 1
+            self.doc_lens = np.zeros(max(n, 1), dtype=np.float64)
+            self.doc_lens[dt.column("doc_id").to_numpy()] = \
+                dt.column("doc_len").to_numpy().astype(np.float64)
         self._seg_cache: dict[int, pa.Table] = {}
         self._post_cache: dict[str, codec.EncodedPostings] = {}
         self._decoded_cache: dict[str, tuple] = {}
@@ -62,8 +80,13 @@ class IndexReader:
     def _bucket_table(self, bucket: int) -> pa.Table:
         tbl = self._seg_cache.get(bucket)
         if tbl is None:
-            path = os.path.join(self.index_dir, "segments", f"bucket={bucket}.parquet")
-            tbl = pq.read_table(path)
+            if self._shared_segments is not None:
+                import ray as _ray
+                tbl = _ray.get(self._shared_segments[bucket])  # zero-copy
+            else:
+                path = os.path.join(self.index_dir, "segments",
+                                    f"bucket={bucket}.parquet")
+                tbl = pq.read_table(path)
             if len(self._seg_cache) > 64:
                 self._seg_cache.clear()
             self._seg_cache[bucket] = tbl
@@ -116,6 +139,34 @@ class IndexReader:
             self._decoded_cache.clear()
         self._decoded_cache[term] = pair
         return pair
+
+    def decoded_range(self, term: str, lo: int, hi: int):
+        """Decode only the posting blocks intersecting doc range
+        [lo, hi) — block-max metadata gives the byte extents, so a
+        doc-range shard costs O(its share of postings), never a full
+        list decode (the substrate of sharded serving)."""
+        enc = self.postings(term)
+        if enc is None:
+            return None
+        bl = enc.block_last_doc
+        nb = len(bl)
+        bi = int(np.searchsorted(bl, lo))
+        if bi >= nb:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        bj = min(int(np.searchsorted(bl, max(lo, hi - 1))), nb - 1)
+        d0 = int(enc.block_off_docs[bi])
+        d1 = int(enc.block_off_docs[bj + 1]) if bj + 1 < nb \
+            else len(enc.doc_bytes)
+        t0 = int(enc.block_off_tfs[bi])
+        t1 = int(enc.block_off_tfs[bj + 1]) if bj + 1 < nb \
+            else len(enc.tf_bytes)
+        deltas = codec.varbyte_decode(enc.doc_bytes[d0:d1]).astype(np.int64)
+        base = int(bl[bi - 1]) if bi > 0 else 0
+        docs = base + np.cumsum(deltas)
+        tfs = codec.varbyte_decode(enc.tf_bytes[t0:t1]).astype(np.int64)
+        a = int(np.searchsorted(docs, lo))
+        b = int(np.searchsorted(docs, hi))
+        return docs[a:b], tfs[a:b]
 
     def idf(self, term: str) -> float:
         entry = self.dictionary.get(term)
@@ -426,11 +477,118 @@ def wand_topk(reader: IndexReader, query: str, k: int):
             np.array([s for s, _ in out], dtype=np.float64))
 
 
+def exhaustive_range_topk(reader, query: str, k: int, lo: int, hi: int):
+    """Exact BM25 top-k restricted to doc_ids in [lo, hi) — the shard
+    kernel for doc-sharded parallel scoring (SURVEY.md G4).  Per-shard
+    top-k with the GLOBAL k is a superset of the global top-k within the
+    shard, so merging shard candidates by (-score, doc_id) reproduces
+    the global ranking exactly (scores are exact, pinned sum order)."""
+    terms = sorted(set(tokenize(query)))
+    decoded = []
+    cand = []
+    for t in terms:
+        pair = reader.decoded_range(t, lo, hi)
+        if pair is None or len(pair[0]) == 0:
+            continue
+        docs, tfs = pair
+        decoded.append((t, docs, tfs))
+        cand.append(docs)
+    if not decoded:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    if len(decoded) == 1:
+        t, docs, tfs = decoded[0]
+        scores = _bm25_vec(tfs, reader.doc_lens[docs], reader.avgdl,
+                           reader.idf(t))
+        return _topk_from_arrays(docs, scores, k)
+    all_docs = np.unique(np.concatenate(cand))
+    scores = np.zeros(len(all_docs), dtype=np.float64)
+    dls = reader.doc_lens[all_docs]
+    for t, docs, tfs in decoded:       # lexicographic == pinned sum order
+        pos = np.searchsorted(all_docs, docs)
+        scores[pos] += _bm25_vec(tfs, dls[pos], reader.avgdl, reader.idf(t))
+    return _topk_from_arrays(all_docs, scores, k)
+
+
+# a query is "heavy" (worth doc-sharding across tasks) past this many
+# candidate postings; shards sized so each handles ~SHARD_POSTINGS
+HEAVY_POSTINGS = 1_000_000
+SHARD_POSTINGS = 500_000
+
+
+def plan_query_shards(dictionary: dict, n_docs: int, query: str,
+                      max_shards: int) -> list[tuple[int, int]]:
+    """Doc-range shards for one query: [(lo, hi), ...] covering [0, N).
+    Light queries get a single full-range shard."""
+    terms = sorted(set(tokenize(query)))
+    sum_df = sum(dictionary[t][1] for t in terms if t in dictionary)
+    if sum_df < HEAVY_POSTINGS or max_shards <= 1:
+        return [(0, n_docs)]
+    r = int(min(max_shards, max(2, sum_df // SHARD_POSTINGS)))
+    bounds = np.linspace(0, n_docs, r + 1).astype(np.int64)
+    return [(int(bounds[i]), int(bounds[i + 1])) for i in range(r)]
+
+
+def share_index(index_dir: str) -> "ray.ObjectRef":
+    """Load the index ONCE and put it in the object store: the returned
+    ref (a dict of refs) feeds IndexReader(shared=...) in every scorer
+    actor — zero-copy arrow/numpy views instead of per-actor disk reads.
+    Scale note: at 10^12 the segments would be shared per-bucket on
+    demand (plasma is still the right substrate); here the whole index
+    fits comfortably.  Memoized per process."""
+    import ray as _ray
+    cache = share_index.__dict__.setdefault("_cache", {})
+    if index_dir in cache:
+        return cache[index_dir]
+    base = IndexReader(index_dir)
+    seg_refs = {}
+    for path in sorted(glob.glob(os.path.join(index_dir, "segments",
+                                              "*.parquet"))):
+        bucket = int(os.path.basename(path).split("=")[1].split(".")[0])
+        seg_refs[bucket] = _ray.put(pq.read_table(path))
+    ref = _ray.put({"dictionary": _ray.put(base.dictionary),
+                    "doc_lens": _ray.put(base.doc_lens),
+                    "segments": seg_refs})
+    if len(cache) > 4:
+        cache.clear()
+    cache[index_dir] = ref
+    return ref
+
+
+class ShardScorer:
+    """Actor-pool stage over (query_id, query, lo, hi) shard rows —
+    emits per-shard candidate top-k; the driver (or a groupby) merges.
+    Index (and decoded hot postings, cached) opened once per actor."""
+
+    def __init__(self, index_dir: str, k: int, shared=None):
+        self.reader = IndexReader(index_dir, shared=shared)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs_out, scores_out = [], [], []
+        for qid, q, lo, hi in zip(batch.column("query_id").to_pylist(),
+                                  batch.column("query").to_pylist(),
+                                  batch.column("lo").to_pylist(),
+                                  batch.column("hi").to_pylist()):
+            if lo == 0 and hi >= len(self.reader.doc_lens):
+                d, s = wand_topk(self.reader, q, self.k)
+            else:
+                d, s = exhaustive_range_topk(self.reader, q, self.k, lo, hi)
+            qids.extend([qid] * len(d))
+            docs_out.extend(d.tolist())
+            scores_out.extend(s.tolist())
+        return pa.table({
+            "query_id": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "score": pa.array(scores_out, pa.float64()),
+        })
+
+
 class QueryScorer:
     """A3: actor-pool query stage.  Index opened once per actor."""
 
-    def __init__(self, index_dir: str, k: int = 10, mode: str = "wand"):
-        self.reader = IndexReader(index_dir)
+    def __init__(self, index_dir: str, k: int = 10, mode: str = "wand",
+                 shared=None):
+        self.reader = IndexReader(index_dir, shared=shared)
         self.k = k
         self.fn = wand_topk if mode == "wand" else exhaustive_topk
 
