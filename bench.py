@@ -23,7 +23,7 @@ BENCH_CONVS = int(os.environ.get("WSE_BENCH_CONVS", "60000"))
 # The scaling criterion needs enough work that the parallel compute
 # dominates constant costs (job startup, driver-side offsets/cumsum,
 # sidecar writes) at BOTH parallelism levels — a larger corpus.
-SCALING_CONVS = int(os.environ.get("WSE_SCALING_CONVS", "150000"))
+SCALING_CONVS = int(os.environ.get("WSE_SCALING_CONVS", "300000"))
 BENCH_CORPUS = f"/tmp/wse_bench_corpus_{BENCH_CONVS}"
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
