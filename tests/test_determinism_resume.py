@@ -81,3 +81,40 @@ def test_deterministic_across_batchings(tmp_path_factory):
         build_index(gen_transcripts(N_CONVS, override_num_blocks=blocks), out)
         outs.append(_bucket_hashes(out))
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_deterministic_across_merge_strategies(tmp_path_factory):
+    """direct raw-task exchange and Dataset HASH_SHUFFLE merge produce
+    byte-identical segments (they differ only in transport)."""
+    from web_search_engine_ray.spec import EngineConfig
+    hashes = []
+    for strat in ("direct", "hash_shuffle"):
+        out = str(tmp_path_factory.mktemp("strat") / strat)
+        build_index(gen_transcripts(N_CONVS), out,
+                    EngineConfig(merge_strategy=strat))
+        hashes.append(_bucket_hashes(out))
+    assert hashes[0] == hashes[1] and len(hashes[0]) > 0
+
+
+def test_deterministic_without_materialize(tmp_path_factory):
+    """Streaming-checkpoint path (materialize_partials=False — the
+    extreme-scale configuration) produces identical segments."""
+    from web_search_engine_ray.spec import EngineConfig
+    out1 = str(tmp_path_factory.mktemp("mat") / "on")
+    out2 = str(tmp_path_factory.mktemp("mat") / "off")
+    build_index(gen_transcripts(N_CONVS), out1)
+    build_index(gen_transcripts(N_CONVS), out2,
+                EngineConfig(materialize_partials=False))
+    assert _bucket_hashes(out1) == _bucket_hashes(out2)
+
+
+def test_actor_pool_indexer_form(tmp_path_factory):
+    """The BASELINE-mandated actor-pool form of A1 produces identical
+    segments to the task form."""
+    from web_search_engine_ray.spec import EngineConfig
+    out1 = str(tmp_path_factory.mktemp("a1") / "task")
+    out2 = str(tmp_path_factory.mktemp("a1") / "actor")
+    build_index(gen_transcripts(N_CONVS), out1)
+    build_index(gen_transcripts(N_CONVS), out2,
+                EngineConfig(indexer_actor_pool=True))
+    assert _bucket_hashes(out1) == _bucket_hashes(out2)
