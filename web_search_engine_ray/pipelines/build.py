@@ -138,36 +138,27 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
     doc_dir = os.path.join(out_dir, DOC_TABLE_DIR)
     if not man.done("doc_table"):
         _clean(doc_dir)
-        corpus_ds().map_batches(
-            doc_table_batch, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=cfg.tokenize_batch_size,
-        ).write_parquet(doc_dir)
+        # pure metadata+text pass: doc_len lives in the DL_SENTINEL
+        # posting list (A1), so this pass never tokenizes
+        corpus_ds().write_parquet(doc_dir)
         _mark("doc_table")
         man.mark_done("doc_table")
 
-    # -- stage: stats (from the doc_table checkpoint — column-pruned) -----
+    # -- stage: precounts (n_docs / max_doc_id — doc-length stats come
+    # from the DL_SENTINEL posting list after the merge) ------------------
     if not man.done("stats"):
         if _parquet_num_rows(doc_dir) <= _SMALL_INPUT_ROWS:
             import pyarrow.dataset as pads
-            tbl = pads.dataset(doc_dir, format="parquet").to_table(
-                columns=["doc_id", "doc_len"])
-            dl = tbl.column("doc_len").to_numpy()
-            agg = {"count()": len(dl), "sum(doc_len)": int(dl.sum()),
-                   "min(doc_len)": int(dl.min()) if len(dl) else 1,
-                   "max(doc_id)": int(tbl.column("doc_id").to_numpy().max())
-                   if len(dl) else -1}
+            ids = pads.dataset(doc_dir, format="parquet").to_table(
+                columns=["doc_id"]).column("doc_id").to_numpy()
+            agg = {"count()": len(ids),
+                   "max(doc_id)": int(ids.max()) if len(ids) else -1}
         else:
-            from ray.data.aggregate import Count, Max, Min, Sum
-            agg = ray.data.read_parquet(doc_dir, columns=["doc_id", "doc_len"]) \
-                .aggregate(Count(), Sum("doc_len"), Min("doc_len"),
-                           Max("doc_id"))
-        n_docs = int(agg["count()"])
-        total_tokens = int(agg["sum(doc_len)"] or 0)
+            from ray.data.aggregate import Count, Max
+            agg = ray.data.read_parquet(doc_dir, columns=["doc_id"]) \
+                .aggregate(Count(), Max("doc_id"))
         stats = {
-            "n_docs": n_docs,
-            "total_tokens": total_tokens,
-            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
-            "dl_min": max(1, int(agg["min(doc_len)"] or 1)),
+            "n_docs": int(agg["count()"]),
             "max_doc_id": int(agg["max(doc_id)"] or -1),
             "num_buckets": cfg.num_buckets,
             "salt_s": cfg.salt_s,
@@ -286,10 +277,28 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
         man.record_buckets(bucket_rows)
         man.mark_done("segments", n_buckets=len(man.data["buckets"]))
 
-    # -- stage: finalize sidecars ----------------------------------------
+    # -- stage: finalize sidecars (doc-length stats come from the
+    # DL_SENTINEL bucket row recorded by the merge) -----------------------
     if not man.done("finalize"):
+        dl_sum = 0
+        dl_min = 0
+        for b in man.data["buckets"].values():
+            if b.get("dl_sum"):
+                dl_sum = int(b["dl_sum"])
+                dl_min = int(b["dl_min"])
+                break
+        stats["total_tokens"] = dl_sum
+        stats["avgdl"] = (dl_sum / n_docs) if n_docs else 0.0
+        stats["dl_min"] = max(1, dl_min)
         write_stats(out_dir, stats)
-        man.mark_done("finalize", stage_seconds=_metrics)
+        man.mark_done("finalize", stage_seconds=_metrics,
+                      total_tokens=dl_sum, avgdl=stats["avgdl"],
+                      dl_min=stats["dl_min"])
+    else:
+        fin = man.data["stages"]["finalize"]
+        stats["total_tokens"] = fin["total_tokens"]
+        stats["avgdl"] = fin["avgdl"]
+        stats["dl_min"] = fin["dl_min"]
     stats["stage_seconds"] = _metrics
     return stats
 

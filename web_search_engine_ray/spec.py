@@ -63,6 +63,12 @@ BLOCK_SIZE = 128
 # (never skip on equality).  UB uses max_tf and dl_min (corpus minimum
 # doc length, from stats).  See web_search_engine_ray/stages/scorer.py.
 
+# Reserved pseudo-term: the doc-length table stored AS a posting list
+# (doc_ids -> tf = doc_len), emitted by A1 alongside real postings and
+# merged/salted by the same machinery.  '\x00' cannot appear in real
+# tokens ([a-z0-9]+), and the sentinel sorts before every real term.
+DL_SENTINEL = "\x00dl"
+
 # --- A.6 determinism: stable hashing (never Python hash()) ---------------
 
 
@@ -100,6 +106,7 @@ class EngineConfig:
     materialize_partials: bool = True  # False at extreme scale: stream to ckpt, re-read
     indexer_actor_pool: bool = False   # True: A1 as an actor pool (long-lived builds)
     merge_strategy: str = "direct"     # "direct" (raw-task exchange) | "hash_shuffle"
+    layout_version: int = 2            # bumped when on-disk layout changes
 
     def config_hash(self) -> str:
         payload = repr(sorted(asdict(self).items())).encode()

@@ -197,7 +197,7 @@ class FinalizeBucket:
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Handles one or more whole buckets per batch (hash partition)."""
         out = {"bucket": [], "n_terms": [], "n_postings": [],
-               "sha256": [], "path": []}
+               "sha256": [], "path": [], "dl_sum": [], "dl_min": []}
         if batch.num_rows:
             idx = pa.compute.sort_indices(
                 batch, sort_keys=[("bucket", "ascending"),
@@ -218,7 +218,9 @@ class FinalizeBucket:
             "n_terms": pa.array(out["n_terms"], pa.int64()),
             "n_postings": pa.array(out["n_postings"], pa.int64()),
             "sha256": pa.array(out["sha256"], pa.string()),
-            "path": pa.array(out["path"], pa.string())})
+            "path": pa.array(out["path"], pa.string()),
+            "dl_sum": pa.array(out["dl_sum"], pa.int64()),
+            "dl_min": pa.array(out["dl_min"], pa.int64())})
 
     def _finalize_one(self, bucket: int, rows: list[dict]) -> dict:
         cols = _empty_cols()
@@ -238,20 +240,32 @@ class FinalizeBucket:
         seg_tbl = pa.table(cols, schema=SEGMENT_SCHEMA)
         seg_path = os.path.join(self.seg_dir, f"bucket={bucket}.parquet")
         _atomic_write_parquet(seg_tbl, seg_path)
+        # the doc-length sentinel stays in the segment (it IS the doc
+        # length table) but never enters the term dictionary; its tf
+        # stream gives the corpus dl stats for T5
+        from web_search_engine_ray.spec import DL_SENTINEL
+        dl_sum = 0
+        dl_min = 0
+        real = seg_tbl
+        if cols["term"] and cols["term"][0] == DL_SENTINEL:
+            dls = codec.varbyte_decode(cols["tf_bytes"][0], cols["n"][0])
+            dl_sum = int(dls.sum())
+            dl_min = int(dls.min())
+            real = seg_tbl.slice(1)
         dict_tbl = pa.table({
-            "term": seg_tbl.column("term"),
-            "bucket": seg_tbl.column("bucket"),
-            "df": seg_tbl.column("df"),
-            "cf": seg_tbl.column("cf"),
-            "max_tf": seg_tbl.column("max_tf"),
+            "term": real.column("term"),
+            "bucket": real.column("bucket"),
+            "df": real.column("df"),
+            "cf": real.column("cf"),
+            "max_tf": real.column("max_tf"),
         }, schema=DICTIONARY_SCHEMA)
         _atomic_write_parquet(dict_tbl, os.path.join(
             self.dict_dir, f"bucket={bucket}.parquet"))
         with open(seg_path, "rb") as f:
             digest = hashlib.sha256(f.read()).hexdigest()
-        return {"bucket": bucket, "n_terms": seg_tbl.num_rows,
+        return {"bucket": bucket, "n_terms": real.num_rows,
                 "n_postings": int(sum(cols["n"])), "sha256": digest,
-                "path": seg_path}
+                "path": seg_path, "dl_sum": dl_sum, "dl_min": dl_min}
 
 
 _FINALIZE_CACHE: dict = {}

@@ -111,11 +111,10 @@ def make_assign_doc_ids(offsets_ref):
 
 
 def doc_table_batch(batch: pa.Table) -> pa.Table:
-    """Attach doc_len; preserve text bytes untouched upstream (M1 invariant:
-    text is never mutated — doc_len is a derived column)."""
-    texts = batch.column("text").to_pylist()
-    dl = doc_lengths(texts)
-    return batch.append_column("doc_len", pa.array(dl, pa.int64()))
+    """T2 metadata pass — text bytes preserved untouched (M1 invariant).
+    doc_len is NOT computed here: A1 emits it as the DL_SENTINEL posting
+    run, so the corpus is tokenized exactly once."""
+    return batch
 
 
 # --- G6: hot-term detection ---------------------------------------------
@@ -246,6 +245,20 @@ class PartitionIndexer:
             return pa.table(_empty_cols(), schema=SEGMENT_SCHEMA)
         codes, uniques = pd.factorize(np.asarray(terms, dtype=object))
         ubk, uhot = self._buckets_for(uniques)
+        # doc-length sentinel: one pseudo-posting per doc, tf = doc_len —
+        # always doc-range salted (it is the ultimate hot term)
+        from web_search_engine_ray.spec import DL_SENTINEL, term_bucket
+        first = np.unique(doc_ids, return_index=True)[1]
+        dl_docs = doc_ids[first]
+        dl_vals = _dls[first]
+        codes = np.concatenate((codes, np.full(len(dl_docs), len(uniques))))
+        uniques = np.concatenate((uniques, [DL_SENTINEL]))
+        ubk = np.concatenate((ubk, [term_bucket(DL_SENTINEL,
+                                                self.num_buckets)])) \
+            .astype(np.int32)
+        uhot = np.concatenate((uhot, [True]))
+        doc_ids = np.concatenate((doc_ids, dl_docs))
+        tfs = np.concatenate((tfs, dl_vals))
         salts = np.zeros(len(doc_ids), dtype=np.int32)
         hot_rows = uhot[codes]
         if hot_rows.any():

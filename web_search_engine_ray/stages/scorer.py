@@ -65,13 +65,20 @@ class IndexReader:
                         t.column("cf").to_pylist(),
                         t.column("max_tf").to_pylist()):
                     self.dictionary[term] = (bucket, df, cf, mtf)
-            # dense doc_len array indexed by doc_id
-            dt = pq.read_table(os.path.join(index_dir, "doc_table"),
-                               columns=["doc_id", "doc_len"])
+            # dense doc_len array from the DL_SENTINEL posting list
+            # (first row of its bucket file — '\x00' sorts before any
+            # real term)
+            from web_search_engine_ray.spec import DL_SENTINEL, term_bucket
+            b = term_bucket(DL_SENTINEL, int(self.stats["num_buckets"]))
             n = int(self.stats["max_doc_id"]) + 1
             self.doc_lens = np.zeros(max(n, 1), dtype=np.float64)
-            self.doc_lens[dt.column("doc_id").to_numpy()] = \
-                dt.column("doc_len").to_numpy().astype(np.float64)
+            seg = pq.read_table(
+                os.path.join(index_dir, "segments", f"bucket={b}.parquet"))
+            if seg.num_rows and seg.column("term")[0].as_py() == DL_SENTINEL:
+                row = seg.slice(0, 1).to_pylist()[0]
+                docs, dls = codec.decode_postings(
+                    row["doc_bytes"], row["tf_bytes"], row["n"])
+                self.doc_lens[docs] = dls.astype(np.float64)
         self._seg_cache: dict[int, pa.Table] = {}
         self._post_cache: dict[str, codec.EncodedPostings] = {}
         self._decoded_cache: dict[str, tuple] = {}

@@ -64,6 +64,7 @@ class Manifest:
             self.data["buckets"][str(r["bucket"])] = {
                 "sha256": r["sha256"], "n_terms": r["n_terms"],
                 "n_postings": r["n_postings"], "path": r["path"],
+                "dl_sum": r.get("dl_sum", 0), "dl_min": r.get("dl_min", 0),
             }
         _atomic_write_json(self.data, self.path)
 
