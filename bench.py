@@ -147,9 +147,16 @@ def _scaling_child(num_cpus: int) -> dict:
 def main_scaling() -> None:
     # generate the corpus up front so both children read identical input
     _init_ray(NUM_CPUS)
-    ensure_corpus(SCALING_CONVS)
+    path = ensure_corpus(SCALING_CONVS)
     import ray
     ray.shutdown()
+    # warm the page cache over the corpus once so the FIRST child is not
+    # penalized with cold reads the second child never pays
+    import glob
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     results = {}
     for p in (8, 32):
         proc = subprocess.run(
