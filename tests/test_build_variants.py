@@ -110,3 +110,23 @@ def test_per_bucket_resume(ray_session, tmp_path):
     assert {b: v["sha256"] for b, v in man2["buckets"].items()} == ref
     for b in ref:
         assert os.path.exists(man2["buckets"][b]["path"])
+
+
+def test_empty_corpus(ray_session, tmp_path):
+    """Degenerate input: zero conversations builds an empty-but-valid
+    index; queries return no rows instead of crashing."""
+    import pyarrow as pa
+    empty = pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "role": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+        "tool": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us"))})
+    out = str(tmp_path / "empty")
+    stats = build_index(ray.data.from_arrow(empty), out)
+    assert stats["n_docs"] == 0 and stats["total_tokens"] == 0
+    from web_search_engine_ray.stages.scorer import IndexReader, wand_topk
+    reader = IndexReader(out)
+    d, s = wand_topk(reader, "anything", 10)
+    assert len(d) == 0

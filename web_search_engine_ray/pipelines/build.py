@@ -147,7 +147,9 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
     # -- stage: precounts (n_docs / max_doc_id — doc-length stats come
     # from the DL_SENTINEL posting list after the merge) ------------------
     if not man.done("stats"):
-        if _parquet_num_rows(doc_dir) <= _SMALL_INPUT_ROWS:
+        if not os.path.exists(doc_dir):   # empty corpus: no files written
+            agg = {"count()": 0, "max(doc_id)": -1}
+        elif _parquet_num_rows(doc_dir) <= _SMALL_INPUT_ROWS:
             import pyarrow.dataset as pads
             ids = pads.dataset(doc_dir, format="parquet").to_table(
                 columns=["doc_id"]).column("doc_id").to_numpy()

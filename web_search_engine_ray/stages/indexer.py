@@ -85,6 +85,8 @@ def conversation_offsets(ds: "ray.data.Dataset") -> tuple[dict[str, int], int]:
                     .map_batches(partial_counts, batch_format="pyarrow",
                                  zero_copy_batch=True)
                     .iter_batches(batch_format="pyarrow", batch_size=None)]
+    if not partial_tbls:
+        return {}, 0
     allp = pa.concat_tables(partial_tbls).to_pandas()
     conv = allp.groupby("conv_id", sort=False).agg(
         n=("n", "sum"), mx=("mx", "max"), mn=("mn", "min")).reset_index()

@@ -72,8 +72,10 @@ class IndexReader:
             b = term_bucket(DL_SENTINEL, int(self.stats["num_buckets"]))
             n = int(self.stats["max_doc_id"]) + 1
             self.doc_lens = np.zeros(max(n, 1), dtype=np.float64)
-            seg = pq.read_table(
-                os.path.join(index_dir, "segments", f"bucket={b}.parquet"))
+            seg_path = os.path.join(index_dir, "segments",
+                                    f"bucket={b}.parquet")
+            seg = pq.read_table(seg_path) if os.path.exists(seg_path) \
+                else pa.table({"term": pa.array([], pa.string())})
             if seg.num_rows and seg.column("term")[0].as_py() == DL_SENTINEL:
                 row = seg.slice(0, 1).to_pylist()[0]
                 docs, dls = codec.decode_postings(
