@@ -156,23 +156,77 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(a & b) / len(a | b)
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over tokens weighted by tf (crc-based token hashes)."""
+def string_shingle_set(text: str, k: int = 3) -> set[str]:
+    """Distinct k-word shingles as STRINGS (not crc hashes) — the exact
+    set the DuckDB ngram oracle computes; docs with < k tokens have an
+    empty set (they produce no shingle rows in the oracle either)."""
     toks = tokenize(text)
-    if not toks:
-        return 0
-    from collections import Counter
-    acc = np.zeros(64, dtype=np.int64)
-    for tok, tf in Counter(toks).items():
-        h = (np.uint64(zlib.crc32(tok.encode())) << np.uint64(32)) | \
-            np.uint64(zlib.crc32((tok + "#").encode()))
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits == 1, tf, -tf)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def string_jaccard(sh_a: set[str], sh_b: set[str]) -> float:
+    """Exact Jaccard over string-shingle sets; 0.0 when either is empty
+    (parity with the oracle SQL, which emits no pair rows for them)."""
+    if not sh_a or not sh_b:
+        return 0.0
+    inter = len(sh_a & sh_b)
+    return inter / (len(sh_a) + len(sh_b) - inter)
+
+
+def term_hash64(term: str) -> int:
+    """Stable 64-bit token hash = first 8 bytes of md5, big-endian —
+    identical to DuckDB's md5(term) hex prefix, so the SimHash oracle
+    can recompute it in SQL."""
+    return int.from_bytes(hashlib.md5(term.encode("utf-8")).digest()[:8],
+                          "big")
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized 64-bit SimHash (tf-weighted) for a batch of texts.
+
+    One factorize over the batch's tokens, one md5 per DISTINCT token,
+    then a single reduceat over a (tokens × 64) ±1 sign matrix — no
+    per-token Python loop in the accumulation (the round-1 kernel was
+    the slowest pipeline in BENCH_r01 at 9 s / 5k docs).
+    Empty/zero-token texts hash to 0.
+    """
+    import pandas as pd
+    toks_per = [tokenize(t) for t in texts]
+    counts = np.fromiter((len(t) for t in toks_per), dtype=np.int64,
+                         count=len(texts))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    all_toks = np.empty(total, dtype=object)
+    off = 0
+    for toks in toks_per:
+        all_toks[off:off + len(toks)] = toks
+        off += len(toks)
+    codes, uniques = pd.factorize(all_toks)
+    H = np.fromiter((term_hash64(u) for u in uniques), dtype=np.uint64,
+                    count=len(uniques))
+    bits = ((H[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int8)
+    sign = (bits * 2 - 1).astype(np.int32)          # (U, 64) in {-1, +1}
+    rows = sign[codes]                              # (T, 64)
+    nonempty = counts > 0
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    acc = np.zeros((len(texts), 64), dtype=np.int64)
+    # consecutive nonempty starts delimit exactly each doc's token run
+    # (empty docs contribute zero tokens between them)
+    acc[nonempty] = np.add.reduceat(rows, starts[nonempty], axis=0)
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out = (acc > 0).astype(np.uint64) @ powers
+    return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over tokens weighted by tf (md5-based token
+    hashes; scalar convenience wrapper over simhash64_batch)."""
+    return int(simhash64_batch([text])[0])
 
 
 def hamming64(a: int, b: int) -> int:

@@ -90,84 +90,308 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 # --- MinHash + LSH near-dedup -------------------------------------------
 
 N_PERM = 128
-N_BANDS = 16
+N_BANDS = 32        # 128/32 = 4 rows/band: P(miss | j=0.8) = (1-.8^4)^32 ≈ 5e-8
 SHINGLE_K = 3
 
 
 class MinHashStage:
-    """Actor-pool stage: doc -> (band_id, band_key, doc_id) LSH rows.
-    The hasher (permutation coefficients) is built once per actor."""
+    """doc -> (band_id, band_key, doc_id) LSH rows, vectorized: one
+    (n_perm × shingles) broadcast multiply + segment-min per doc chunk
+    instead of a per-doc Python loop.  Run in task form with a
+    per-worker singleton (``minhash_band_batch``) — the autoscaling
+    actor pool ramps too slowly for a seconds-long stage.
+
+    Docs with NO shingles are skipped: they can never verify above any
+    threshold (the oracle emits no shingle rows for them), and banding
+    them would put every empty doc into one giant shared bucket.
+    """
+
+    _CHUNK_SHINGLES = 65536       # bounds the (n_perm × T) matrix ~64 MB
 
     def __init__(self, n_perm: int = N_PERM, n_bands: int = N_BANDS,
                  k: int = SHINGLE_K):
         self.hasher = tp.FastMinHasher(n_perm)
+        self.n_perm = n_perm
         self.n_bands = n_bands
         self.k = k
 
+    def _signatures(self, sh_list: list[np.ndarray]) -> np.ndarray:
+        """(n_docs, n_perm) signature matrix; empty docs all-FF."""
+        n = len(sh_list)
+        sigs = np.full((n, self.n_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
+                       dtype=np.uint64)
+        lens = np.fromiter((len(s) for s in sh_list), np.int64, n)
+        idx = np.flatnonzero(lens > 0)
+        a = self.hasher.a[:, None]
+        b = self.hasher.b[:, None]
+        pos = 0
+        while pos < len(idx):
+            take, tot = [], 0
+            while pos < len(idx) and (not take
+                                      or tot + lens[idx[pos]] <= self._CHUNK_SHINGLES):
+                take.append(idx[pos])
+                tot += lens[idx[pos]]
+                pos += 1
+            X = np.concatenate([sh_list[i] for i in take])
+            starts = np.concatenate(
+                ([0], np.cumsum(lens[take])[:-1])).astype(np.int64)
+            with np.errstate(over="ignore"):
+                M = a * X[None, :] + b                      # (P, T)
+            sigs[take] = np.minimum.reduceat(M, starts, axis=1).T
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, keys = [], [], []
-        for d, text in zip(batch.column("doc_id").to_pylist(),
-                           batch.column("text").to_pylist()):
-            sig = self.hasher.signature(tp.shingle_hashes(text, self.k))
-            for b, key in enumerate(tp.minhash_bands(sig, self.n_bands)):
-                doc_ids.append(d)
-                band_ids.append(b)
-                keys.append(key)
-        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+        import hashlib as _hl
+        docs = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        sh_list = [tp.shingle_hashes(t, self.k) for t in texts]
+        keep = np.fromiter((len(s) > 0 for s in sh_list), bool, len(sh_list))
+        docs = docs[keep]
+        sigs = self._signatures([s for s, m in zip(sh_list, keep) if m])
+        rows = self.n_perm // self.n_bands
+        n = len(docs)
+        band_ids = np.repeat(np.arange(self.n_bands, dtype=np.int32), n)
+        doc_out = np.tile(docs, self.n_bands)
+        keys: list[str] = []
+        for b in range(self.n_bands):
+            seg = sigs[:, b * rows:(b + 1) * rows]
+            keys.extend(_hl.md5(seg[i].tobytes()).hexdigest() for i in range(n))
+        return pa.table({"doc_id": pa.array(doc_out, pa.int64()),
                          "band_id": pa.array(band_ids, pa.int32()),
                          "band_key": pa.array(keys, pa.string())})
 
 
-def _bucket_pairs(group: pa.Table, max_bucket: int = 64) -> pa.Table:
-    """Candidate pairs within one LSH bucket (bounded fan-out)."""
-    ids = sorted(group.column("doc_id").to_pylist())[:max_bucket]
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table({"doc_id_a": pa.array(a, pa.int64()),
-                     "doc_id_b": pa.array(b, pa.int64())})
+_MINHASH_WORKER_CACHE: dict = {}
+
+
+def minhash_band_batch(batch: pa.Table, *, n_perm: int = N_PERM,
+                       n_bands: int = N_BANDS, k: int = SHINGLE_K) -> pa.Table:
+    """Task-form wrapper with a per-worker-process MinHashStage singleton
+    (same pattern as PartitionIndexer.task_fn)."""
+    key = (n_perm, n_bands, k)
+    inst = _MINHASH_WORKER_CACHE.get(key)
+    if inst is None:
+        _MINHASH_WORKER_CACHE.clear()
+        inst = _MINHASH_WORKER_CACHE[key] = MinHashStage(n_perm, n_bands, k)
+    return inst(batch)
+
+
+def _hash_partition(ds: "ray.data.Dataset", keys: list[str],
+                    num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Hash-partition by keys so a follow-up map_batches(batch_size=None)
+    sees complete key groups per block — the cheap replacement for
+    groupby().map_groups(), whose per-group Python call dominates when
+    groups are numerous and tiny (measured 7.4 s vs <1 s on 160k LSH
+    bucket rows)."""
+    from ray.data.context import ShuffleStrategy
+    n = max(1, int(ray.cluster_resources().get("CPU", 4)))
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.max_hash_shuffle_aggregators = max(2, n // 4)
+    return ds.repartition(num_blocks=num_partitions or max(4, n // 2),
+                          keys=keys)
+
+
+def _group_slices(sort_cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-key runs in already-sorted parallel arrays."""
+    n = len(sort_cols[0])
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    diff = np.zeros(n - 1, dtype=bool)
+    for c in sort_cols:
+        diff |= c[1:] != c[:-1]
+    change = np.flatnonzero(diff) + 1
+    return np.r_[0, change].astype(np.int64), \
+        np.r_[change, n].astype(np.int64)
+
+
+def _bucket_pairs(batch: pa.Table) -> pa.Table:
+    """All candidate pairs within each complete LSH bucket in this
+    hash-partitioned block — NO silent cap (exact duplicates are
+    collapsed to one representative BEFORE the LSH pass, so bucket size
+    is bounded by true near-dup cluster size, not duplication factor).
+    Vectorized: sort once, slice buckets, np.triu_indices per bucket."""
+    import pyarrow.compute as pc
+    empty = pa.table({"doc_id_a": pa.array([], pa.int64()),
+                      "doc_id_b": pa.array([], pa.int64())})
+    if batch.num_rows == 0:
+        return empty
+    idx = pc.sort_indices(batch, sort_keys=[
+        ("band_id", "ascending"), ("band_key", "ascending"),
+        ("doc_id", "ascending")])
+    t = batch.take(idx)
+    bid = t.column("band_id").to_numpy()
+    bkey = np.asarray(t.column("band_key").to_pylist(), dtype=object)
+    docs = t.column("doc_id").to_numpy()
+    starts, ends = _group_slices([bid, bkey])
+    a_out, b_out = [], []
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            ids = docs[s:e]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            a_out.append(ids[iu])
+            b_out.append(ids[ju])
+    if not a_out:
+        return empty
+    return pa.table({"doc_id_a": pa.array(np.concatenate(a_out), pa.int64()),
+                     "doc_id_b": pa.array(np.concatenate(b_out), pa.int64())})
 
 
 def minhash_candidates(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """doc -> minhash signature -> LSH banding -> distinct candidate pairs."""
-    from ray.data.aggregate import Count
+    """doc -> minhash signature -> LSH banding -> candidate pairs.
+    Pairs may repeat across bands (up to n_bands copies); callers dedupe
+    the (small) candidate set — cheaper than a distinct shuffle here."""
     bands = docs.select_columns(["doc_id", "text"]).map_batches(
-        MinHashStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8))
-    pairs = (bands.groupby(["band_id", "band_key"])
-             .map_groups(_bucket_pairs, batch_format="pyarrow"))
-    # distinct pairs (a pair can collide in several bands)
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(Count())
+        minhash_band_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1024)
+    return _hash_partition(bands, ["band_id", "band_key"]).map_batches(
+        _bucket_pairs, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def _collapse_fp_partition(batch: pa.Table) -> pa.Table:
+    """Complete md5-fingerprint groups -> one row per distinct text:
+    (rep = min doc_id, members sorted, text).  Vectorized via sorted
+    run boundaries + ListArray.from_arrays."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "members": pa.array([], pa.list_(pa.int64())),
+                         "text": pa.array([], pa.string())})
+    import pyarrow.compute as pc
+    idx = pc.sort_indices(batch, sort_keys=[("fp", "ascending"),
+                                            ("doc_id", "ascending")])
+    t = batch.take(idx)
+    fp = np.asarray(t.column("fp").to_pylist(), dtype=object)
+    docs = t.column("doc_id").to_numpy()
+    starts, _ends = _group_slices([fp])
+    offsets = np.r_[starts, len(docs)].astype(np.int64)
+    members = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       pa.array(docs, pa.int64()))
+    return pa.table({"doc_id": pa.array(docs[starts], pa.int64()),
+                     "members": members,
+                     "text": t.column("text").take(
+                         pa.array(starts, pa.int64()))})
+
+
+def _dup_groups(docs: "ray.data.Dataset") -> pa.Table:
+    """Exact-duplicate groups: one row per distinct text —
+    (rep = min doc_id, members sorted, text).  Hash-partitioned on the
+    md5 digest; each partition holds complete fingerprint groups."""
+
+    def _h(batch: pa.Table) -> pa.Table:
+        fps = [tp.text_md5(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": batch.column("text"),
+                         "fp": pa.array(fps, pa.string())})
+
+    hashed = docs.select_columns(["doc_id", "text"]).map_batches(
+        _h, batch_format="pyarrow", zero_copy_batch=True)
+    grouped = _hash_partition(hashed, ["fp"]).map_batches(
+        _collapse_fp_partition, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+    batches = list(grouped.iter_batches(batch_format="pyarrow"))
+    batches = [b for b in batches if b.num_rows]
+    return pa.concat_tables(batches) if batches else pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "members": pa.array([], pa.list_(pa.int64())),
+         "text": pa.array([], pa.string())})
 
 
 def near_dup_pairs(docs: "ray.data.Dataset", docs_path: str,
-                   threshold: float = 0.8) -> pa.Table:
-    """MinHash-LSH candidates verified with exact shingle Jaccard.
+                   threshold: float = 0.8,
+                   k: int = SHINGLE_K) -> pa.Table:
+    """ALL pairs (a < b) with exact string-shingle Jaccard >= threshold,
+    found via exact-dup collapse + MinHash-LSH + exact verification.
 
-    Verification reads only the candidate docs' texts via a filtered
-    parquet read (candidate sets are tiny vs the corpus); at larger
-    candidate volumes this becomes a broadcast join keyed by doc_id.
+    Stages: (1) collapse exact duplicates (md5 groupby) to one
+    representative each; (2) LSH-band the representatives; (3) verify
+    candidate rep pairs with EXACT string-shingle Jaccard (the same set
+    the DuckDB oracle computes) inside map_batches with a broadcast
+    rep-text lookup; (4) expand verified rep pairs across their dup
+    groups and add within-group pairs (jaccard 1.0).
+
+    Driver-side state is bounded by #distinct-candidate-reps and
+    #dup-groups-with-copies — never by corpus size; at 100 TB both
+    lookups become hash joins on doc_id instead of broadcast dicts.
     """
-    import pyarrow.parquet as pq
-    cand = minhash_candidates(docs).to_pandas()
-    if len(cand) == 0:
-        return pa.table({"doc_id_a": pa.array([], pa.int64()),
-                         "doc_id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    wanted = sorted(set(cand["doc_id_a"]) | set(cand["doc_id_b"]))
-    texts_tbl = pq.read_table(docs_path, columns=["doc_id", "text"],
-                              filters=[("doc_id", "in", wanted)])
-    texts = dict(zip(texts_tbl.column("doc_id").to_pylist(),
-                     texts_tbl.column("text").to_pylist()))
+    groups = _dup_groups(docs)
+    rep_ids = groups.column("doc_id").to_pylist()
+    rep_members = groups.column("members").to_pylist()
+    rep_texts = groups.column("text").to_pylist()
+    members_of = dict(zip(rep_ids, rep_members))
+    empty = pa.table({"doc_id_a": pa.array([], pa.int64()),
+                      "doc_id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not rep_ids:
+        return empty
+
+    reps_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(rep_ids, pa.int64()),
+                  "text": pa.array(rep_texts, pa.string())}))
+    cand_batches = [b for b in minhash_candidates(reps_ds)
+                    .iter_batches(batch_format="pyarrow") if b.num_rows]
+    verified: list[tuple[int, int, float]] = []
+    if cand_batches:
+        raw = pa.concat_tables(cand_batches)
+        # dedupe band collisions (<= n_bands copies per pair) — tiny set
+        pair_keys = np.unique(np.stack(
+            [raw.column("doc_id_a").to_numpy(),
+             raw.column("doc_id_b").to_numpy()], axis=1), axis=0)
+        cand = pa.table({"doc_id_a": pa.array(pair_keys[:, 0], pa.int64()),
+                         "doc_id_b": pa.array(pair_keys[:, 1], pa.int64())})
+        texts_ref = ray.put(dict(zip(rep_ids, rep_texts)))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            texts = ray.get(texts_ref)
+            sh_cache: dict[int, set] = {}
+
+            def sh(d: int) -> set:
+                s = sh_cache.get(d)
+                if s is None:
+                    s = sh_cache[d] = tp.string_shingle_set(texts[d], k)
+                return s
+
+            a_out, b_out, j_out = [], [], []
+            for a, b in zip(batch.column("doc_id_a").to_pylist(),
+                            batch.column("doc_id_b").to_pylist()):
+                j = tp.string_jaccard(sh(a), sh(b))
+                if j >= threshold:
+                    a_out.append(a)
+                    b_out.append(b)
+                    j_out.append(round(j, 6))
+            return pa.table({"doc_id_a": pa.array(a_out, pa.int64()),
+                             "doc_id_b": pa.array(b_out, pa.int64()),
+                             "jaccard": pa.array(j_out, pa.float64())})
+
+        vb = list(ray.data.from_arrow(cand)
+                  .map_batches(verify, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow"))
+        if vb:
+            vt = pa.concat_tables(vb)
+            verified = list(zip(vt.column("doc_id_a").to_pylist(),
+                                vt.column("doc_id_b").to_pylist(),
+                                vt.column("jaccard").to_pylist()))
+
     rows_a, rows_b, jac = [], [], []
-    for a, b in zip(cand["doc_id_a"], cand["doc_id_b"]):
-        j = tp.exact_jaccard(texts[a], texts[b], SHINGLE_K)
-        if j >= threshold:
-            rows_a.append(int(a))
-            rows_b.append(int(b))
-            jac.append(round(j, 6))
+    # within-group pairs: identical texts => jaccard 1.0, but only when
+    # the text actually has shingles (docs with < k tokens emit no
+    # shingle rows in the oracle and therefore no pairs)
+    for rep, members, text in zip(rep_ids, rep_members, rep_texts):
+        if len(members) > 1 and tp.string_shingle_set(text, k):
+            for i in range(len(members)):
+                for j_ in range(i + 1, len(members)):
+                    rows_a.append(members[i])
+                    rows_b.append(members[j_])
+                    jac.append(1.0)
+    # cross-group pairs: every member pair inherits the rep pair's jaccard
+    for ra, rb, j in verified:
+        for a in members_of[ra]:
+            for b in members_of[rb]:
+                lo, hi = (a, b) if a < b else (b, a)
+                rows_a.append(lo)
+                rows_b.append(hi)
+                jac.append(j)
+    if not rows_a:
+        return empty
     order = np.lexsort((rows_b, rows_a))
     return pa.table({
         "doc_id_a": pa.array(np.array(rows_a, dtype=np.int64)[order]),
@@ -286,10 +510,9 @@ def embedding_dup_pairs(embeddings: "ray.data.Dataset",
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    hs = [tp.simhash64(t) for t in batch.column("text").to_pylist()]
+    hs = tp.simhash64_batch(batch.column("text").to_pylist())
     return pa.table({"doc_id": batch.column("doc_id"),
-                     "simhash": pa.array(np.array(hs, dtype=np.uint64)
-                                         .astype(np.int64))})
+                     "simhash": pa.array(hs.astype(np.int64))})
 
 
 def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> pa.Table:
@@ -315,31 +538,64 @@ def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> pa.Table:
                          "band_key": np.concatenate(out_key),
                          "simhash": np.concatenate(out_h)})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        hs = group.column("simhash").to_numpy().astype(np.uint64)
-        order = np.argsort(ids)
-        a, b, dist = [], [], []
-        for i in range(len(order)):
-            for j in range(i + 1, len(order)):
-                ii, jj = order[i], order[j]
-                hd = tp.hamming64(int(hs[ii]), int(hs[jj]))
-                if hd <= max_hamming:
-                    a.append(ids[ii])
-                    b.append(ids[jj])
-                    dist.append(hd)
-        return pa.table({"doc_id_a": pa.array(a, pa.int64()),
-                         "doc_id_b": pa.array(b, pa.int64()),
-                         "hamming": pa.array(dist, pa.int32())})
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        """Verified pairs within each complete 16-bit band bucket of this
+        hash-partitioned block; hamming via vectorized xor+popcount."""
+        import pyarrow.compute as pc
+        empty = pa.table({"doc_id_a": pa.array([], pa.int64()),
+                          "doc_id_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("band_id", "ascending"), ("band_key", "ascending"),
+            ("doc_id", "ascending")])
+        t = batch.take(idx)
+        bid = t.column("band_id").to_numpy()
+        bkey = t.column("band_key").to_numpy()
+        docs = t.column("doc_id").to_numpy()
+        hs = t.column("simhash").to_numpy().astype(np.uint64)
+        starts, ends = _group_slices([bid, bkey])
+        a_out, b_out, d_out = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            iu, ju = np.triu_indices(e - s, k=1)
+            x = hs[s:e][iu] ^ hs[s:e][ju]
+            # popcount: 8 bytes per uint64, table-free via unpackbits
+            hd = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                               axis=1).sum(axis=1).astype(np.int32)
+            keep = hd <= max_hamming
+            if keep.any():
+                a_out.append(docs[s:e][iu[keep]])
+                b_out.append(docs[s:e][ju[keep]])
+                d_out.append(hd[keep])
+        if not a_out:
+            return empty
+        return pa.table({
+            "doc_id_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "doc_id_b": pa.array(np.concatenate(b_out), pa.int64()),
+            "hamming": pa.array(np.concatenate(d_out), pa.int32())})
 
-    from ray.data.aggregate import Min
-    pairs = (sims.map_batches(expand, batch_format="pyarrow")
-             .groupby(["band_id", "band_key"])
-             .map_groups(bucket_pairs, batch_format="pyarrow")
-             .groupby(["doc_id_a", "doc_id_b"]).aggregate(Min("hamming")))
-    tbl = pa.concat_tables(list(pairs.iter_batches(batch_format="pyarrow"))) \
-        if pairs.count() else pa.table({"doc_id_a": pa.array([], pa.int64()),
-                                        "doc_id_b": pa.array([], pa.int64()),
-                                        "min(hamming)": pa.array([], pa.int32())})
-    return tbl.rename_columns(["doc_id_a", "doc_id_b", "hamming"]) \
-        .sort_by([("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
+    pairs = _hash_partition(sims.map_batches(expand, batch_format="pyarrow"),
+                            ["band_id", "band_key"]).map_batches(
+        bucket_pairs, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+    batches = [b for b in pairs.iter_batches(batch_format="pyarrow")
+               if b.num_rows]
+    if not batches:
+        return pa.table({"doc_id_a": pa.array([], pa.int64()),
+                         "doc_id_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int32())})
+    tbl = pa.concat_tables(batches)
+    # a pair can match in several bands with the SAME full-hash hamming:
+    # dedupe the (small) verified set driver-side (at larger pair volumes
+    # this becomes the groupby("doc_id_a","doc_id_b") it replaces)
+    arr = np.stack([tbl.column("doc_id_a").to_numpy(),
+                    tbl.column("doc_id_b").to_numpy(),
+                    tbl.column("hamming").to_numpy()], axis=1)
+    arr = np.unique(arr, axis=0)
+    return pa.table({"doc_id_a": pa.array(arr[:, 0], pa.int64()),
+                     "doc_id_b": pa.array(arr[:, 1], pa.int64()),
+                     "hamming": pa.array(arr[:, 2].astype(np.int32),
+                                         pa.int32())})

@@ -161,7 +161,8 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
                 .aggregate(Count(), Max("doc_id"))
         stats = {
             "n_docs": int(agg["count()"]),
-            "max_doc_id": int(agg["max(doc_id)"] or -1),
+            "max_doc_id": (-1 if agg["max(doc_id)"] is None
+                           else int(agg["max(doc_id)"])),
             "num_buckets": cfg.num_buckets,
             "salt_s": cfg.salt_s,
             "block_size": cfg.block_size,

@@ -157,9 +157,19 @@ def attach_doc_metadata(index_dir: str, results: pa.Table) -> pa.Table:
     parquet row-group predicate pushdown on doc_id, then an in-memory
     hash join — never an all-to-all shuffle.
     """
+    import pyarrow.dataset as pads
+    doc_dir = os.path.join(index_dir, "doc_table")
+    present = set(pads.dataset(doc_dir, format="parquet").schema.names)
+    if "conv_id" not in present or "turn_idx" not in present:
+        # corpus-kind index (doc_id, text, ...): no transcript metadata to
+        # attach — null-fill so callers get a stable results schema.
+        n = results.num_rows
+        return results.append_column(
+            "conv_id", pa.array([None] * n, pa.string())).append_column(
+            "turn_idx", pa.array([None] * n, pa.int32()))
     wanted = pc.unique(results.column("doc_id"))
     dt = pq.read_table(
-        os.path.join(index_dir, "doc_table"),
+        doc_dir,
         columns=["doc_id", "conv_id", "turn_idx"],
         filters=[("doc_id", "in", wanted.to_pylist())])
     lookup = {d: (c, t) for d, c, t in zip(

@@ -256,17 +256,37 @@ def events_json(sf_dir: str) -> pa.Table:
         .sort_by([("event_type", "ascending")])
 
 
+_TRANSCRIPTS_N_CONVS = 1000
+_TRANSCRIPTS_CORPUS = f"/tmp/wse_oracle_transcripts_{_TRANSCRIPTS_N_CONVS}.parquet"
+
+
+def _ensure_transcripts_corpus() -> str:
+    """Persist the deterministic synthetic transcript corpus so the
+    DuckDB oracle can read_parquet the EXACT same input the engine
+    indexes (generator is partition-independent — T-DET)."""
+    if not os.path.exists(_TRANSCRIPTS_CORPUS):
+        from web_search_engine_ray.sources.transcripts import \
+            gen_transcripts_table
+        tmp = _TRANSCRIPTS_CORPUS + ".tmp"
+        pq.write_table(gen_transcripts_table(_TRANSCRIPTS_N_CONVS), tmp)
+        os.replace(tmp, _TRANSCRIPTS_CORPUS)
+    return _TRANSCRIPTS_CORPUS
+
+
 def transcripts_bm25(sf_dir: str) -> pa.Table:
     """Flagship over SYNTHETIC transcripts (full E1: docID assignment,
-    salting, merge; E2: WAND).  sf_dir scales the corpus size."""
+    salting, merge; E2: WAND + J2 metadata attach).  Corpus size is
+    PINNED (not sf-scaled) so the static oracle SQL reads the same
+    parquet at any sf_dir; sf scaling of this path lives in bench.py."""
     from web_search_engine_ray.sources.transcripts import (gen_queries,
                                                            gen_transcripts)
-    n_convs = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}.get(
-        os.path.basename(os.path.normpath(sf_dir)), 200)
-    out = f"/tmp/wse_idx_transcripts_{n_convs}"
-    build_index(gen_transcripts(n_convs), out, resume=True)
-    return run_queries(out, gen_queries(), k=10, mode="wand",
-                       attach_doc_meta=True)
+    _ensure_transcripts_corpus()
+    out = f"/tmp/wse_idx_transcripts_{_TRANSCRIPTS_N_CONVS}"
+    build_index(gen_transcripts(_TRANSCRIPTS_N_CONVS), out, resume=True)
+    res = run_queries(out, gen_queries(), k=10, mode="wand",
+                      attach_doc_meta=True)
+    return res.set_column(res.schema.get_field_index("score"), "score",
+                          pa.array(np.round(res.column("score").to_numpy(), 6)))
 
 
 def _collect(ds: "ray.data.Dataset") -> pa.Table:
@@ -280,17 +300,23 @@ _TOKS = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
          "'[a-z0-9]+')) AS term FROM documents")
 
 
-def _bm25_sql() -> str:
+def _query_terms_values(queries: list[tuple[int, str]]) -> str:
     values = []
-    for qid, q in BM25_QUERIES:
+    for qid, q in queries:
         for t in sorted(set(tokenize(q))):
             values.append(f"({qid}, '{t}')")
-    vals = ", ".join(values)
+    return ", ".join(values)
+
+
+def _bm25_sql() -> str:
+    vals = _query_terms_values(BM25_QUERIES)
     return f"""
 WITH toks AS ({_TOKS}),
 tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::BIGINT dl FROM toks GROUP BY 1),
-stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE n,
+                 sum(dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+          FROM dl),
 df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
 qt(query_id, term) AS (VALUES {vals}),
 scored AS (
@@ -311,6 +337,143 @@ FROM scored
 QUALIFY rank <= {BM25_K}
 ORDER BY query_id, rank
 """
+
+
+def _transcripts_bm25_sql() -> str:
+    """Same BM25 CTE family as _bm25_sql, over the persisted synthetic
+    transcript corpus: doc_id = row_number() over (conv_id, turn_idx) - 1
+    reproduces the engine's dense conv-prefix-sum docID assignment
+    (turn_idx is dense 0..n-1 per conversation)."""
+    from web_search_engine_ray.sources.transcripts import gen_queries
+    qtbl = gen_queries()
+    qs = list(zip(qtbl.column("query_id").to_pylist(),
+                  qtbl.column("query").to_pylist()))
+    vals = _query_terms_values(qs)
+    path = _ensure_transcripts_corpus()
+    return f"""
+WITH docs AS (SELECT conv_id, turn_idx, text,
+              row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id
+              FROM read_parquet('{path}')),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM toks GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM docs)::DOUBLE n,
+                 sum(dl)::DOUBLE / (SELECT count(*) FROM docs) AS avgdl
+          FROM dl),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+qt(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id::BIGINT AS query_id, t.doc_id,
+         sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+             * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS s
+  FROM qt q
+  JOIN tf t ON t.term = q.term
+  JOIN dl d ON d.doc_id = t.doc_id
+  JOIN df f ON f.term = t.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, doc_id) AS INTEGER) AS rank,
+         doc_id, round(s, 6) AS score
+  FROM scored QUALIFY rank <= {BM25_K})
+SELECT r.query_id, r.rank, r.doc_id, r.score, d.conv_id, d.turn_idx
+FROM ranked r JOIN docs d USING (doc_id)
+ORDER BY r.query_id, r.rank
+"""
+
+
+def _jaccard_sql(threshold: float) -> str:
+    """All doc pairs with exact word-3-shingle Jaccard >= threshold —
+    the oracle for both ngram_jaccard (0.5) and dedup_minhash (0.8)."""
+    return f"""
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') toks
+           FROM documents),
+sh AS (SELECT doc_id, concat_ws(' ', toks[i.i], toks[i.i+1], toks[i.i+2]) AS shingle
+       FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks)-1)) AS i) i
+       WHERE len(toks) >= 3),
+s AS (SELECT DISTINCT doc_id, shingle FROM sh),
+cnt AS (SELECT doc_id, count(*) c FROM s GROUP BY doc_id),
+inter AS (SELECT x.doc_id a, y.doc_id b, count(*) i
+          FROM s x JOIN s y USING (shingle)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a AS doc_id_a, b AS doc_id_b,
+       round(i::DOUBLE / (ca.c + cb.c - i), 6) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+WHERE i::DOUBLE / (ca.c + cb.c - i) >= {threshold}
+ORDER BY 1, 2"""
+
+
+def _lang_id_sql() -> str:
+    """Reproduces textproc.lang_id exactly: per-language stopword-hit
+    counts, winner = max hits with alphabetical tie-break, 'und' on zero
+    hits, confidence = hits / n_tokens."""
+    from web_search_engine_ray.functions.textproc import LANG_PROFILES
+    langs = sorted(LANG_PROFILES)
+    cols = ", ".join(
+        "len(list_filter(toks, x -> x IN ('"
+        + "','".join(sorted(LANG_PROFILES[lang])) + f"'))) AS h_{lang}"
+        for lang in langs)
+    case = " ".join(f"WHEN '{lang}' THEN h_{lang}" for lang in langs)
+    vals = ", ".join(f"('{lang}')" for lang in langs)
+    return f"""
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+h AS (SELECT doc_id, len(toks) AS n, {cols} FROM d),
+u AS (SELECT doc_id, n, v.lang, CASE v.lang {case} END AS hits
+      FROM h CROSS JOIN (VALUES {vals}) v(lang)),
+best AS (SELECT doc_id, n, lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang) AS rn
+         FROM u)
+SELECT doc_id,
+       CASE WHEN hits = 0 THEN 'und' ELSE lang END AS pred_lang,
+       round(CASE WHEN n = 0 THEN 0.0 ELSE hits::DOUBLE / n END, 6)
+         AS confidence
+FROM best WHERE rn = 1 ORDER BY doc_id"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Recomputes the engine's 64-bit tf-weighted SimHash in SQL: token
+    hash = first 16 hex chars of md5 (== textproc.term_hash64), bit i of
+    the hash read from its hex nibble, sign-sum per (doc, bit), then
+    all-pairs hamming over the 64 per-doc sign bits.  Exact because the
+    engine's 4×16-bit banding has full recall at hamming <= 3."""
+    nib = "strpos('0123456789abcdef', substr(h.hx, CAST(16 - i.i // 4 AS INT), 1)) - 1"
+    div = "CASE i.i % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END"
+    return f"""
+WITH toks AS ({{toks}}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM toks GROUP BY 1, 2),
+th AS (SELECT DISTINCT term, md5(term) AS hx FROM tf),
+bits AS (
+  SELECT t.doc_id, i.i AS bit,
+         sum(CASE WHEN (({nib}) // ({div})) % 2 = 1
+                  THEN t.tf ELSE -t.tf END) AS s
+  FROM tf t JOIN th h USING (term)
+  CROSS JOIN (SELECT unnest(range(64)) AS i) i
+  GROUP BY 1, 2),
+sb AS (SELECT doc_id, bit, CAST(s > 0 AS INT) AS b FROM bits),
+ham AS (SELECT x.doc_id a, y.doc_id b,
+               sum(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS hd
+        FROM sb x JOIN sb y ON x.bit = y.bit AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+SELECT a AS doc_id_a, b AS doc_id_b, CAST(hd AS INTEGER) AS hamming
+FROM ham WHERE hd <= {max_hamming} ORDER BY 1, 2""".replace("{toks}", _TOKS)
+
+
+_HEXVAL = "strpos('0123456789abcdef', substr(h,{p},1)) - 1"
+
+_MEDIA_SQL = f"""
+WITH hx AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents)
+SELECT media_id, 'image' AS kind,
+       CAST(16 + ({_HEXVAL.format(p=1)}) * 16 + ({_HEXVAL.format(p=2)})
+            AS INTEGER) AS width,
+       CAST(16 + ({_HEXVAL.format(p=3)}) * 16 + ({_HEXVAL.format(p=4)})
+            AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_frames
+FROM hx ORDER BY media_id"""
 
 
 from web_search_engine_ray.functions.textproc import STOPWORDS  # noqa: E402
@@ -375,22 +538,12 @@ FROM events GROUP BY event_type ORDER BY event_type""",
 SELECT event_type, count(*)::BIGINT AS n_events,
        sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k
 FROM events GROUP BY event_type ORDER BY event_type""",
-    "ngram_jaccard": """
-WITH d AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') toks
-           FROM documents),
-sh AS (SELECT doc_id, concat_ws(' ', toks[i.i], toks[i.i+1], toks[i.i+2]) AS shingle
-       FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks)-1)) AS i) i
-       WHERE len(toks) >= 3),
-s AS (SELECT DISTINCT doc_id, shingle FROM sh),
-cnt AS (SELECT doc_id, count(*) c FROM s GROUP BY doc_id),
-inter AS (SELECT x.doc_id a, y.doc_id b, count(*) i
-          FROM s x JOIN s y USING (shingle)
-          WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
-SELECT a AS doc_id_a, b AS doc_id_b,
-       round(i::DOUBLE / (ca.c + cb.c - i), 6) AS jaccard
-FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
-WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5
-ORDER BY 1, 2""",
+    "ngram_jaccard": _jaccard_sql(0.5),
+    "dedup_minhash": _jaccard_sql(0.8),
+    "dedup_simhash": _simhash_sql(3),
+    "lang_id": _lang_id_sql(),
+    "media_features": _MEDIA_SQL,
+    "transcripts_bm25": _transcripts_bm25_sql(),
     "dedup_embedding": """
 WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings)
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
@@ -428,16 +581,16 @@ QUERIES = {
     "fingerprint": fingerprint,
     "quality_score": quality_score,
     "lang_distribution": lang_distribution,
-    "lang_id": lang_id_pred,          # rows-only (heuristic, no SQL oracle)
-    "dedup_minhash": dedup_minhash,   # rows-only
-    "dedup_simhash": dedup_simhash,   # rows-only
+    "lang_id": lang_id_pred,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
     "knn_cosine": knn_cosine,
-    "knn_ivf": knn_ivf_q,             # rows-only (approximate)
-    "media_features": media_features,  # rows-only (stubbed decode)
+    "knn_ivf": knn_ivf_q,             # rows-only (approximate; recall pytest)
+    "media_features": media_features,
     "events_by_type": events_by_type,
     "events_json": events_json,
     "ngram_jaccard": ngram_jaccard,
     "dedup_embedding": dedup_embedding,
     "events_sessionize": events_sessionize,
-    "transcripts_bm25": transcripts_bm25,  # rows-only (synthetic corpus)
+    "transcripts_bm25": transcripts_bm25,
 }
