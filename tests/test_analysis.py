@@ -165,3 +165,70 @@ def test_media_plumbing(ray_session):
     from web_search_engine_ray.stages.media import ImageDecoder
     with _pytest.raises(NotImplementedError):
         ImageDecoder().decode(b"x", "image")
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF (k-means centroids, nprobe=4) must reach recall@10 >= 0.9 vs
+    brute force on the sf0.01 embeddings, deterministically."""
+    import os
+    import pyarrow.parquet as pq
+    import ray.data
+    from web_search_engine_ray.pipelines.knn import (_batch_matrix,
+                                                     knn_bruteforce, knn_ivf)
+    emb_path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(emb_path):
+        pytest.skip("testdata missing")
+    qtbl = pq.read_table(emb_path, filters=[("vec_id", "in", [0, 1, 2, 3, 4])])
+    order = np.argsort(qtbl.column("vec_id").to_numpy())
+    qmat = _batch_matrix(qtbl)[order]
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    exact = knn_bruteforce(ds, [0, 1, 2, 3, 4], qmat, k=10).to_pandas()
+    approx = knn_ivf(ds, [0, 1, 2, 3, 4], qmat, k=10).to_pandas()
+    approx2 = knn_ivf(ds, [0, 1, 2, 3, 4], qmat, k=10).to_pandas()
+    assert approx.equals(approx2)                  # deterministic
+    recalls = []
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_embedding_dup_ann_vs_exact(ray_session):
+    """IVF-bucketed approximate near-dup pairs: subset of the exact
+    pairs with high recall on the sf0.01 embeddings."""
+    import os
+    import ray.data
+    from web_search_engine_ray.pipelines.analysis import (
+        embedding_dup_pairs, embedding_dup_pairs_ann)
+    emb_path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(emb_path):
+        pytest.skip("testdata missing")
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    exact = embedding_dup_pairs(ds, threshold=0.45).to_pandas()
+    ann = embedding_dup_pairs_ann(ds, threshold=0.45).to_pandas()
+    e = set(zip(exact.vec_id_a, exact.vec_id_b))
+    a = set(zip(ann.vec_id_a, ann.vec_id_b))
+    assert a <= e                                  # no false positives
+    assert len(e) == 0 or len(a & e) / len(e) >= 0.9
+
+
+def test_embedding_dup_chunked_matches_single_chunk(ray_session):
+    """The block-pair decomposition is exact: tiny chunk size (forcing
+    many chunk pairs) must reproduce the single-chunk result."""
+    import ray.data
+    from web_search_engine_ray.pipelines.analysis import embedding_dup_pairs
+    g = np.random.Generator(np.random.PCG64(5))
+    base = g.normal(size=(40, 8))
+    base[25] = base[24] + 0.01 * g.normal(size=8)   # planted near-dup
+    base[33] = base[32] + 0.01 * g.normal(size=8)
+    tbl = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in base],
+                                          pa.list_(pa.float64()))})
+    one = embedding_dup_pairs(ray.data.from_arrow(tbl), 0.9,
+                              chunk_rows=4096).to_pandas()
+    many = embedding_dup_pairs(ray.data.from_arrow(tbl), 0.9,
+                               chunk_rows=7).to_pandas()
+    assert one.equals(many)
+    got = set(zip(one.vec_id_a, one.vec_id_b))
+    assert (24, 25) in got and (32, 33) in got

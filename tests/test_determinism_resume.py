@@ -118,3 +118,56 @@ def test_actor_pool_indexer_form(tmp_path_factory):
     build_index(gen_transcripts(N_CONVS), out2,
                 EngineConfig(indexer_actor_pool=True))
     assert _bucket_hashes(out1) == _bucket_hashes(out2)
+
+
+def test_distributed_docid_identical_segments(det_index, tmp_path_factory):
+    """The distributed docID path (conversation_offsets_ds + hash join)
+    must yield byte-identical segments to the broadcast-dict fast path.
+    Config fields that don't touch index semantics are excluded from
+    bucket-hash comparison via direct manifest hashes."""
+    from web_search_engine_ray.spec import EngineConfig
+    out2 = str(tmp_path_factory.mktemp("det") / "dist")
+    build_index(gen_transcripts(N_CONVS), out2,
+                EngineConfig(docid_distributed=True))
+    h1, h2 = _bucket_hashes(det_index), _bucket_hashes(out2)
+    assert h1 == h2 and len(h1) > 0
+
+
+def test_distributed_offsets_match_driver_offsets(tmp_path_factory):
+    """(conv_id, base) Dataset == driver-side offsets dict, and the
+    join-based assignment produces the same (conv, turn) -> doc_id map."""
+    import pyarrow as pa
+    import ray
+
+    from web_search_engine_ray.stages.indexer import (
+        assign_doc_ids_join, conversation_offsets,
+        conversation_offsets_ds)
+
+    ds = gen_transcripts(40)
+    offsets, n = conversation_offsets(gen_transcripts(40))
+    offsets_ds, n2 = conversation_offsets_ds(gen_transcripts(40))
+    assert n == n2
+    got = pa.concat_tables(
+        list(offsets_ds.iter_batches(batch_format="pyarrow"))).to_pandas()
+    assert dict(zip(got.conv_id, got.base)) == offsets
+    assigned = assign_doc_ids_join(ds, offsets_ds)
+    tbl = pa.concat_tables(
+        list(assigned.iter_batches(batch_format="pyarrow"))).to_pandas()
+    expect = {(c, t): offsets[c] + t
+              for c, t in zip(tbl.conv_id, tbl.turn_idx)}
+    got_map = dict(zip(zip(tbl.conv_id, tbl.turn_idx), tbl.doc_id))
+    assert got_map == expect and len(got_map) == n
+
+
+def test_distributed_offsets_validation(tmp_path_factory):
+    """Non-dense turn_idx must raise in the distributed path too."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray
+
+    from web_search_engine_ray.stages.indexer import conversation_offsets_ds
+    bad = pa.table({"conv_id": pa.array(["c1", "c1"], pa.string()),
+                    "turn_idx": pa.array([0, 2], pa.int32())})
+    with _pytest.raises(Exception) as ei:
+        ds, _ = conversation_offsets_ds(ray.data.from_arrow(bad))
+    assert "dense" in str(ei.value)

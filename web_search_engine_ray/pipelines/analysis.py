@@ -462,48 +462,175 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
 # --- embedding-cosine near-dedup -----------------------------------------
 
 
-def embedding_dup_pairs(embeddings: "ray.data.Dataset",
-                        threshold: float = 0.45) -> pa.Table:
-    """All pairs of vectors with cosine >= threshold.
-
-    The full (normalized) matrix is broadcast once via ``ray.put``; each
-    batch does one matmul against it and emits its qualifying pairs —
-    O(N^2) similarity work split across batches with no shuffle.  Scale
-    path: replace the broadcast full matrix with IVF/LSH bucket keys
-    (pipelines/knn.py) so only same-bucket pairs are compared.
-    """
+def _chunk_pair_table(refs_ref, i: int, j: int,
+                      threshold: float) -> pa.Table:
+    """Qualifying (a < b) cosine pairs between chunk i and chunk j."""
     from web_search_engine_ray.pipelines.knn import _batch_matrix, _normalize
-    full_tbl = pa.concat_tables(list(
-        embeddings.select_columns(["vec_id", "embedding"])
-        .iter_batches(batch_format="pyarrow")))
-    order = np.argsort(full_tbl.column("vec_id").to_numpy())
-    full_ids = full_tbl.column("vec_id").to_numpy()[order]
-    full_mat = _normalize(_batch_matrix(full_tbl)[order])
-    ref = ray.put((full_ids, full_mat))
+    refs = ray.get(refs_ref)
+    ta = ray.get(refs[i])
+    ids_a = ta.column("vec_id").to_numpy()
+    A = _normalize(_batch_matrix(ta))
+    if i == j:
+        sims = A @ A.T
+        iu, ju = np.triu_indices(len(ids_a), k=1)
+        keep = sims[iu, ju] >= threshold
+        a, b = ids_a[iu[keep]], ids_a[ju[keep]]
+        s = sims[iu[keep], ju[keep]]
+    else:
+        tb = ray.get(refs[j])
+        ids_b = tb.column("vec_id").to_numpy()
+        B = _normalize(_batch_matrix(tb))
+        sims = A @ B.T
+        r, c = np.nonzero(sims >= threshold)
+        a, b = ids_a[r], ids_b[c]
+        s = sims[r, c]
+        flip = a > b
+        a, b = np.where(flip, b, a), np.where(flip, a, b)
+    return pa.table({"vec_id_a": pa.array(a.astype(np.int64)),
+                     "vec_id_b": pa.array(b.astype(np.int64)),
+                     "sim": pa.array(np.round(s, 6), pa.float64())})
 
-    def pairs_batch(batch: pa.Table) -> pa.Table:
-        ids_all, mat_all = ray.get(ref)
-        vec_ids = batch.column("vec_id").to_numpy()
+
+def embedding_dup_pairs(embeddings: "ray.data.Dataset",
+                        threshold: float = 0.45,
+                        chunk_rows: int = 2048) -> pa.Table:
+    """EXACT all pairs of vectors with cosine >= threshold, as a
+    distributed BLOCK-PAIR matmul.
+
+    The corpus is chunked into object-store blocks; a Dataset of chunk
+    index pairs (i <= j) drives one matmul task per pair.  Work is the
+    inherent O(N^2) of an exact threshold join, but split across
+    P(P+1)/2 independent tasks with O(2·chunk) memory each — no
+    full-matrix broadcast anywhere (each task reads exactly its two
+    chunks from the object store).  For the 100 TB APPROXIMATE path use
+    embedding_dup_pairs_ann (IVF-bucketed, same output schema).
+    """
+    mat = embeddings.select_columns(["vec_id", "embedding"]) \
+        .materialize()
+    n_rows = mat.count()
+    empty = pa.table({"vec_id_a": pa.array([], pa.int64()),
+                      "vec_id_b": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
+    if n_rows == 0:
+        return empty
+    n_chunks = max(1, -(-n_rows // chunk_rows))
+    if n_chunks != mat.num_blocks():
+        mat = mat.repartition(num_blocks=n_chunks).materialize()
+    refs = mat.to_arrow_refs()
+    refs_ref = ray.put(refs)
+    n = len(refs)
+    pairs_idx = pa.table({
+        "i": pa.array([i for i in range(n) for _ in range(i, n)], pa.int32()),
+        "j": pa.array([j for i in range(n) for j in range(i, n)], pa.int32())})
+
+    def pair_batch(batch: pa.Table) -> pa.Table:
+        outs = [_chunk_pair_table(refs_ref, int(i), int(j), threshold)
+                for i, j in zip(batch.column("i").to_pylist(),
+                                batch.column("j").to_pylist())]
+        return pa.concat_tables(outs)
+
+    out_batches = [b for b in ray.data.from_arrow(pairs_idx)
+                   .repartition(num_blocks=min(len(refs) * (len(refs) + 1) // 2,
+                                               64))
+                   .map_batches(pair_batch, batch_format="pyarrow",
+                                batch_size=None)
+                   .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not out_batches:
+        return empty
+    return pa.concat_tables(out_batches) \
+        .sort_by([("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
+
+
+def embedding_dup_pairs_ann(embeddings: "ray.data.Dataset",
+                            threshold: float = 0.45,
+                            n_centroids: int = 16,
+                            nprobe: int = 2) -> pa.Table:
+    """APPROXIMATE near-dup pairs: IVF multi-assignment bucketing.
+
+    Each vector is assigned to its nprobe nearest k-means centroids;
+    pairs are only compared inside shared buckets (hash-partitioned
+    groupby on centroid_id) — O(N^2 / n_centroids · nprobe^2) expected
+    work and no broadcast of corpus-sized state.  Recall is tested
+    against the exact path (tests/test_analysis.py); high-cosine pairs
+    almost always share a nearest centroid.
+    """
+    from web_search_engine_ray.pipelines.knn import (_batch_matrix,
+                                                     _normalize,
+                                                     ivf_centroids)
+    cents = ivf_centroids(embeddings, n_centroids)
+    cent_ref = ray.put(cents)
+
+    def assign_multi(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = batch.column("vec_id").to_numpy()
         m = _normalize(_batch_matrix(batch))
-        sims = m @ mat_all.T
-        rows_a, rows_b, s_out = [], [], []
-        for r in range(sims.shape[0]):
-            hit = np.flatnonzero(sims[r] >= threshold)
-            for c in hit:
-                if ids_all[c] > vec_ids[r]:      # each pair once, a < b
-                    rows_a.append(int(vec_ids[r]))
-                    rows_b.append(int(ids_all[c]))
-                    s_out.append(round(float(sims[r, c]), 6))
-        return pa.table({"vec_id_a": pa.array(rows_a, pa.int64()),
-                         "vec_id_b": pa.array(rows_b, pa.int64()),
-                         "sim": pa.array(s_out, pa.float64())})
+        top = np.argsort(-(m @ c.T), axis=1)[:, :nprobe].astype(np.int32)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        out_ids = np.repeat(ids, nprobe)
+        out_cid = top.reshape(-1)
+        rep_idx = pa.array(np.repeat(np.arange(len(ids)), nprobe))
+        return pa.table({"vec_id": pa.array(out_ids, pa.int64()),
+                         "centroid_id": pa.array(out_cid, pa.int32()),
+                         "embedding": emb.take(rep_idx)})
 
-    out = pa.concat_tables(list(
-        embeddings.select_columns(["vec_id", "embedding"])
-        .map_batches(pairs_batch, batch_format="pyarrow",
-                     zero_copy_batch=True, batch_size=1024)
-        .iter_batches(batch_format="pyarrow")))
-    return out.sort_by([("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
+    assigned = embeddings.select_columns(["vec_id", "embedding"]) \
+        .map_batches(assign_multi, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        """Complete centroid buckets per hash partition; exact cosine
+        within each bucket."""
+        import pyarrow.compute as pc
+        empty = pa.table({"vec_id_a": pa.array([], pa.int64()),
+                          "vec_id_b": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("centroid_id", "ascending"), ("vec_id", "ascending")])
+        t = batch.take(idx)
+        cid = t.column("centroid_id").to_numpy()
+        ids = t.column("vec_id").to_numpy()
+        M = _normalize(_batch_matrix(t))
+        starts, ends = _group_slices([cid])
+        a_out, b_out, s_out = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sub = M[s:e]
+            sims = sub @ sub.T
+            iu, ju = np.triu_indices(e - s, k=1)
+            keep = (sims[iu, ju] >= threshold) & \
+                (ids[s:e][iu] != ids[s:e][ju])
+            a_out.append(ids[s:e][iu[keep]])
+            b_out.append(ids[s:e][ju[keep]])
+            s_out.append(sims[iu[keep], ju[keep]])
+        if not a_out:
+            return empty
+        return pa.table({
+            "vec_id_a": pa.array(np.concatenate(a_out).astype(np.int64)),
+            "vec_id_b": pa.array(np.concatenate(b_out).astype(np.int64)),
+            "sim": pa.array(np.round(np.concatenate(s_out), 6),
+                            pa.float64())})
+
+    raw = [b for b in _hash_partition(assigned, ["centroid_id"])
+           .map_batches(bucket_pairs, batch_size=None,
+                        batch_format="pyarrow", zero_copy_batch=True)
+           .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not raw:
+        return pa.table({"vec_id_a": pa.array([], pa.int64()),
+                         "vec_id_b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    tbl = pa.concat_tables(raw)
+    # dedupe pairs found in several shared buckets (sim identical)
+    arr = np.stack([tbl.column("vec_id_a").to_numpy(),
+                    tbl.column("vec_id_b").to_numpy()], axis=1)
+    _uniq, first = np.unique(arr, axis=0, return_index=True)
+    keep = pa.array(np.sort(first))
+    return tbl.take(keep).sort_by([("vec_id_a", "ascending"),
+                                   ("vec_id_b", "ascending")])
 
 
 # --- SimHash near-dedup --------------------------------------------------

@@ -72,17 +72,30 @@ def _parquet_num_rows(path: str) -> int:
 
 
 def transcripts_to_corpus(ds: "ray.data.Dataset",
-                          path: str | None = None) -> "ray.data.Dataset":
+                          path: str | None = None,
+                          cfg: EngineConfig = DEFAULT_CONFIG) -> "ray.data.Dataset":
     """Assign deterministic dense doc_id (O1/O2) to a transcripts Dataset.
 
-    A small conv-level reduce instead of a full-data sort shuffle — see
-    conversation_offsets for why this is equivalent.  For small parquet
-    inputs the reduce runs driver-side (cheaper than a Ray job); the
-    distributed path takes over past _SMALL_INPUT_ROWS.
+    Three equivalent forms (all validate dense turn_idx, all yield the
+    identical (conv_id asc, turn_idx asc) enumeration):
+    - small parquet input (metadata row count): conv reduce driver-side
+      (cheaper than a Ray job) + broadcast offsets dict;
+    - small non-parquet Dataset: conv reduce via iter_batches combine +
+      broadcast offsets dict;
+    - large input or cfg.docid_distributed: DISTRIBUTED offsets Dataset
+      (sort + per-block prefix sums) hash-JOINED back on conv_id — no
+      conv-sized driver structure
+      (stages/indexer.py:conversation_offsets_ds).
     """
-    from web_search_engine_ray.stages.indexer import \
-        conversation_offsets_from_parquet
-    if path is not None and _parquet_num_rows(path) <= _SMALL_INPUT_ROWS:
+    from web_search_engine_ray.stages.indexer import (
+        assign_doc_ids_join, conversation_offsets_ds,
+        conversation_offsets_from_parquet)
+    small_parquet = (path is not None and
+                     _parquet_num_rows(path) <= cfg.docid_small_input_rows)
+    if cfg.docid_distributed or (path is not None and not small_parquet):
+        offsets_ds, _n = conversation_offsets_ds(ds)
+        return assign_doc_ids_join(ds, offsets_ds)
+    if small_parquet:
         offsets, _n = conversation_offsets_from_parquet(path)
     else:
         offsets, _n = conversation_offsets(ds)
@@ -130,7 +143,7 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
             if dedup:
                 ds = dedup_turns(ds)
             if input_kind == "transcripts":
-                ds = transcripts_to_corpus(ds, path=plain_path)
+                ds = transcripts_to_corpus(ds, path=plain_path, cfg=cfg)
             _cache.append(ds)
         return _cache[0]
 

@@ -103,17 +103,56 @@ def knn_bruteforce(embeddings: "ray.data.Dataset", query_ids: list[int],
 
 
 def ivf_centroids(embeddings: "ray.data.Dataset", n_centroids: int,
-                  seed: int = 7) -> np.ndarray:
-    """Deterministic centroids: the embedding rows whose vec_id equals a
-    seeded sample of ids (one filtered pass, no k-means iterations —
-    adequate coarse quantizer for bucketing; swap for k-means offline)."""
+                  seed: int = 7, iters: int = 3) -> np.ndarray:
+    """Deterministic k-means centroids: seeded-sample init + ``iters``
+    distributed Lloyd iterations.
+
+    Each iteration is one map_batches pass emitting per-batch partial
+    (centroid_id, vector-sum, count) rows, combined driver-side —
+    O(n_centroids × blocks) driver state, corpus never collected.
+    Spherical k-means (normalize after every mean) since similarity is
+    cosine."""
     n = embeddings.count()
+    if n == 0:
+        raise ValueError("cannot build IVF centroids over an empty corpus")
     g = np.random.Generator(np.random.PCG64(derive_seed(seed, "ivf")))
     ids = sorted(g.choice(n, size=min(n_centroids, n), replace=False).tolist())
     sample = embeddings.filter(expr=f"vec_id in {ids}")
     tbl = pa.concat_tables(list(sample.iter_batches(batch_format="pyarrow")))
     order = np.argsort(tbl.column("vec_id").to_numpy())
-    return _normalize(_batch_matrix(tbl)[order])
+    cents = _normalize(_batch_matrix(tbl)[order])
+    k, d = cents.shape
+    for _ in range(iters):
+        cent_ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _normalize(_batch_matrix(batch))
+            cid = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros((k, d))
+            np.add.at(sums, cid, m)
+            counts = np.bincount(cid, minlength=k).astype(np.int64)
+            return pa.table({
+                "cid": pa.array(np.arange(k, dtype=np.int32)),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "cnt": pa.array(counts, pa.int64())})
+
+        parts = pa.concat_tables(list(
+            embeddings.select_columns(["vec_id", "embedding"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")))
+        cid = parts.column("cid").to_numpy()
+        cnt = parts.column("cnt").to_numpy()
+        vs = np.asarray(parts.column("vsum").to_pylist(), dtype=np.float64)
+        sums = np.zeros((k, d))
+        np.add.at(sums, cid, vs)
+        counts = np.bincount(cid, weights=cnt, minlength=k)
+        nonempty = counts > 0
+        new = cents.copy()
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cents = _normalize(new)
+    return cents
 
 
 class IVFAssign:
@@ -140,7 +179,16 @@ def knn_ivf(embeddings: "ray.data.Dataset", query_ids: list[int],
     qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
     probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
     probe_set = sorted({int(c) for row in probe for c in row})
-    # restrict the scan to probed buckets, then brute-force within them
-    subset = assigned.filter(expr=f"centroid_id in {probe_set}")
+    probe_arr = pa.array(probe_set, pa.int32())
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch.column("centroid_id"),
+                                     value_set=probe_arr))
+
+    # restrict the scan to probed buckets (vectorized is_in mask — robust
+    # for any centroid count), then brute-force within them
+    subset = assigned.map_batches(probe_filter, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     return knn_bruteforce(subset.drop_columns(["centroid_id"]),
                           query_ids, query_matrix, k)

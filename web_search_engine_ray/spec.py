@@ -107,6 +107,10 @@ class EngineConfig:
     indexer_actor_pool: bool = False   # True: A1 as an actor pool (long-lived builds)
     merge_strategy: str = "direct"     # "direct" (raw-task exchange) | "hash_shuffle"
     layout_version: int = 2            # bumped when on-disk layout changes
+    # docID assignment: driver-side conv reduce below this row count (a
+    # pure fast path), distributed sort + prefix-sum + hash join above it
+    docid_small_input_rows: int = 20_000_000
+    docid_distributed: bool = False    # True: force the distributed path
 
     def config_hash(self) -> str:
         payload = repr(sorted(asdict(self).items())).encode()

@@ -52,37 +52,34 @@ def _offsets_from_conv(conv_ids: np.ndarray, n_turns: np.ndarray,
     return dict(zip(conv_sorted.tolist(), offsets.tolist())), int(sizes.sum())
 
 
+def _partial_conv_counts(batch: pa.Table) -> pa.Table:
+    """Per-block combiner: shrinks the shuffle from one row per TURN to
+    one row per (block, conv) before the conv-level reduce."""
+    g = pd.DataFrame({
+        "conv_id": batch.column("conv_id").to_pandas(),
+        "turn_idx": batch.column("turn_idx").to_numpy(),
+    }).groupby("conv_id", sort=False)["turn_idx"].agg(["count", "min", "max"])
+    return pa.table({
+        "conv_id": pa.array(g.index, pa.string()),
+        "n": pa.array(g["count"].to_numpy(), pa.int64()),
+        "mn": pa.array(g["min"].to_numpy(), pa.int32()),
+        "mx": pa.array(g["max"].to_numpy(), pa.int32()),
+    })
+
+
 def conversation_offsets(ds: "ray.data.Dataset") -> tuple[dict[str, int], int]:
-    """Per-conversation docID offsets via conv-level prefix sums.
+    """Per-conversation docID offsets via conv-level prefix sums
+    (driver-combine FAST PATH for small inputs; the distributed form is
+    conversation_offsets_ds + assign_doc_ids_join).
 
     Valid because turn_idx is dense 0..n-1 per conversation (validated
     here — SURVEY.md A.3): sorting the *conversation* table bytewise by
     conv_id and prefix-summing turn counts yields exactly the global
     (conv_id asc, turn_idx asc) dense enumeration, without a full-data
-    sort shuffle.  Scale note: at 10^12 turns the conversation table is
-    ~10^10 rows; the driver-side cumsum below becomes a hierarchical
-    (per-range) prefix sum over the sorted conv table — same semantics.
+    sort shuffle.
     """
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        # per-block combiner: shrinks the shuffle from one row per TURN
-        # to one row per (block, conv) before the conv-level groupby
-        g = pd.DataFrame({
-            "conv_id": batch.column("conv_id").to_pandas(),
-            "turn_idx": batch.column("turn_idx").to_numpy(),
-        }).groupby("conv_id", sort=False)["turn_idx"].agg(["count", "min", "max"])
-        return pa.table({
-            "conv_id": pa.array(g.index, pa.string()),
-            "n": pa.array(g["count"].to_numpy(), pa.int64()),
-            "mn": pa.array(g["min"].to_numpy(), pa.int32()),
-            "mx": pa.array(g["max"].to_numpy(), pa.int32()),
-        })
-
-    # Combine the per-block partials on the driver: ~one row per conv —
-    # 17x smaller than the corpus — so no shuffle is needed at all.  At
-    # 10^12 turns this combine becomes a tree reduce / hash groupby over
-    # the partials dataset (swap take_all for the groupby below).
     partial_tbls = [b for b in ds.select_columns(["conv_id", "turn_idx"])
-                    .map_batches(partial_counts, batch_format="pyarrow",
+                    .map_batches(_partial_conv_counts, batch_format="pyarrow",
                                  zero_copy_batch=True)
                     .iter_batches(batch_format="pyarrow", batch_size=None)]
     if not partial_tbls:
@@ -93,6 +90,90 @@ def conversation_offsets(ds: "ray.data.Dataset") -> tuple[dict[str, int], int]:
     return _offsets_from_conv(conv["conv_id"].to_numpy(),
                               conv["n"].to_numpy(), conv["mn"].to_numpy(),
                               conv["mx"].to_numpy())
+
+
+def _validate_conv_agg(batch: pa.Table) -> pa.Table:
+    n = batch.column("sum(n)").to_numpy().astype(np.int64)
+    mn = batch.column("min(mn)").to_numpy()
+    mx = batch.column("max(mx)").to_numpy()
+    bad = (mn != 0) | (mx != n - 1)
+    if bad.any():
+        bad_id = batch.column("conv_id").to_pylist()[int(np.flatnonzero(bad)[0])]
+        raise ValueError(
+            f"turn_idx not dense 0..n-1 for conv_id={bad_id!r}; "
+            "dedup/repair input before indexing (SURVEY.md D1)")
+    return pa.table({"conv_id": batch.column("conv_id"),
+                     "n": pa.array(n, pa.int64())})
+
+
+@ray.remote
+def _block_conv_total(tbl: pa.Table) -> int:
+    import pyarrow.compute as pc
+    return int(pc.sum(tbl.column("n")).as_py() or 0)
+
+
+@ray.remote
+def _block_conv_offsets(tbl: pa.Table, base: int) -> pa.Table:
+    n = tbl.column("n").to_numpy()
+    off = base + np.concatenate(([0], np.cumsum(n)[:-1])).astype(np.int64)
+    return pa.table({"conv_id": tbl.column("conv_id"),
+                     "base": pa.array(off, pa.int64())})
+
+
+def conversation_offsets_ds(ds: "ray.data.Dataset") \
+        -> tuple["ray.data.Dataset", int]:
+    """DISTRIBUTED O1/O2: per-conversation docID offsets as a
+    (conv_id, base) Dataset — no corpus-sized (or conv-sized) driver
+    structure anywhere.
+
+    per-block combiner -> hash groupby per conv (validates density) ->
+    distributed sort by conv_id -> per-block totals (one int per block
+    on the driver) -> per-block prefix-sum tasks.  Raw Ray tasks are
+    used ONLY for the prefix sums, which the Dataset API cannot express;
+    everything is O(blocks) on the driver.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+    conv = (ds.select_columns(["conv_id", "turn_idx"])
+            .map_batches(_partial_conv_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("conv_id")
+            .aggregate(Sum("n"), Min("mn"), Max("mx"))
+            .map_batches(_validate_conv_agg, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    conv_sorted = conv.sort("conv_id").materialize()
+    refs = conv_sorted.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(pa.table(
+            {"conv_id": pa.array([], pa.string()),
+             "base": pa.array([], pa.int64())})), 0
+    totals = ray.get([_block_conv_total.remote(r) for r in refs])
+    bases = np.concatenate(([0], np.cumsum(totals)[:-1])).astype(np.int64)
+    out_refs = [_block_conv_offsets.remote(r, int(b))
+                for r, b in zip(refs, bases)]
+    return ray.data.from_arrow_refs(out_refs), int(sum(totals))
+
+
+def assign_doc_ids_join(ds: "ray.data.Dataset",
+                        offsets_ds: "ray.data.Dataset",
+                        num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Distributed docID assignment: hash-join turns with the offsets
+    table on conv_id (both sides shuffled by the SAME key), then
+    doc_id = base + turn_idx per row.  Replaces the whole-offsets-dict
+    broadcast, which is a driver OOM at ~10^10 conversations."""
+    if num_partitions is None:
+        n = max(1, int(ray.cluster_resources().get("CPU", 4)))
+        num_partitions = max(8, n // 2)
+    joined = ds.join(offsets_ds, join_type="inner",
+                     num_partitions=num_partitions, on=("conv_id",))
+
+    def add_doc_id(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("base").to_numpy() + \
+            batch.column("turn_idx").to_numpy().astype(np.int64)
+        return batch.drop_columns(["base"]).append_column(
+            "doc_id", pa.array(doc_id, pa.int64()))
+
+    return joined.map_batches(add_doc_id, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def make_assign_doc_ids(offsets_ref):
