@@ -76,9 +76,10 @@ def build_and_query(corpus_path: str, out_dir: str) -> dict:
         t1 = time.time()
         wand_topk(reader, query, 10)
         warm.append(time.time() - t1)
-    # actor-pool serve of the full set (the distributed path)
+    # actor-pool serve of the full set (the distributed path; auto mode
+    # routes plan-heavy queries through doc-range sharding)
     t2 = time.time()
-    run_queries(out_dir, q, k=10, mode="wand")
+    run_queries(out_dir, q, k=10, mode="auto")
     serve_sec = time.time() - t2
     return {
         "n_turns": n_turns,
@@ -157,25 +158,39 @@ def main_scaling() -> None:
         with open(f, "rb") as fh:
             while fh.read(1 << 24):
                 pass
-    results = {}
-    for p in (8, 32):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(p)],
-            capture_output=True, text=True, timeout=3600)
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr[-4000:])
-            raise SystemExit(f"scaling child {p} failed")
-        results[p] = json.loads(proc.stdout.strip().splitlines()[-1])
-    thru8 = results[8]["turns_per_sec"]
-    thru32 = results[32]["turns_per_sec"]
-    eff = (thru32 / thru8) / 4
+    # median-of-N protocol (BASELINE.md): samples interleave 8 and 32 so
+    # shared-VM disk drift hits both levels equally; efficiency is
+    # reported on the MEDIANS, with every sample disclosed.
+    import statistics
+    n_samples = int(os.environ.get("WSE_SCALING_SAMPLES", "3"))
+    samples: dict[int, list[float]] = {8: [], 32: []}
+    details = []
+    for s in range(n_samples):
+        for p in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--scaling-child", str(p)],
+                capture_output=True, text=True, timeout=3600)
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(f"scaling child {p} failed")
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+            samples[p].append(res["turns_per_sec"])
+            details.append({"sample": s, "cpus": p, **res})
+    med8 = statistics.median(samples[8])
+    med32 = statistics.median(samples[32])
+    eff = (med32 / med8) / 4
     print(json.dumps({
         "metric": "scaling_efficiency_8_to_32_cpus",
         "value": round(eff, 4),
         "unit": "ratio",
-        "thru_8cpu_turns_per_sec": thru8,
-        "thru_32cpu_turns_per_sec": thru32,
-        "detail": results,
+        "protocol": f"median of {n_samples} interleaved samples per level",
+        "thru_8cpu_turns_per_sec": med8,
+        "thru_32cpu_turns_per_sec": med32,
+        "samples_8cpu": samples[8],
+        "samples_32cpu": samples[32],
+        "per_sample_efficiency": [round((b / a) / 4, 4) for a, b in
+                                  zip(samples[8], samples[32])],
+        "detail": details,
         "bench_corpus_convs": SCALING_CONVS,
     }))
 

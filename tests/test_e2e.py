@@ -124,3 +124,32 @@ def test_sharded_serve_rank_identity(tiny_index, tiny_corpus_table):
     assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
     assert a.column("score").to_pylist() == b.column("score").to_pylist()
     assert a.column("rank").to_pylist() == b.column("rank").to_pylist()
+
+
+def test_auto_mode_matches_wand(tiny_index):
+    """mode='auto' (heavy->sharded, light->WAND routing) is lossless:
+    identical tables to pure WAND over the full query mix."""
+    from web_search_engine_ray.pipelines.query import run_queries
+    from web_search_engine_ray.sources.transcripts import gen_queries
+    out, _ = tiny_index
+    a = run_queries(out, gen_queries(), k=10, mode="wand").to_pandas()
+    b = run_queries(out, gen_queries(), k=10, mode="auto").to_pandas()
+    assert a.equals(b)
+
+
+def test_dictionary_lookup_parity(tiny_index):
+    """Arrow-native Dictionary == the parquet rows, including misses."""
+    import pyarrow.parquet as pq
+    import os
+    from web_search_engine_ray.stages.scorer import Dictionary
+    out, _ = tiny_index
+    d = Dictionary.load(out)
+    tbl = pq.read_table(os.path.join(out, "dictionary"))
+    for term, bucket, df, cf, mtf in zip(
+            tbl.column("term").to_pylist(), tbl.column("bucket").to_pylist(),
+            tbl.column("df").to_pylist(), tbl.column("cf").to_pylist(),
+            tbl.column("max_tf").to_pylist()):
+        assert d[term] == (bucket, df, cf, mtf)
+        assert term in d
+    assert d.get("zz-not-a-term") is None and "zz-not-a-term" not in d
+    assert len(d) == tbl.num_rows

@@ -63,9 +63,10 @@ def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
     return problems
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def run(sf_dir: str, only: set[str] | None = None) -> int:
+    """Run the driver-replica correctness harness; returns #failures.
+    Importable so pytest can gate the driver contract in CI."""
+    only = only or set()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=16, include_dashboard=False)
     import logging
@@ -107,6 +108,11 @@ def main():
               + ("" if not problems else " | " + "; ".join(problems)))
     print("failures:", failures)
     return failures
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    return run(sf_dir, set(sys.argv[2:]))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,41 @@
+"""Hash-partition + vectorized run-detection helpers — the cheap
+replacement for ``groupby().map_groups()`` whose per-group Python call
+dominates when groups are numerous and tiny (measured 7.4 s vs <1 s on
+160k LSH bucket rows).
+
+Pattern: ``_hash_partition(ds, keys)`` co-locates complete key groups
+per block; a follow-up ``map_batches(fn, batch_size=None)`` sees whole
+partitions and detects group runs with ``group_slices`` after one sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray
+import ray.data
+
+
+def hash_partition(ds: "ray.data.Dataset", keys: list[str],
+                   num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Hash-partition by keys so a follow-up map_batches(batch_size=None)
+    sees complete key groups per block."""
+    from ray.data.context import ShuffleStrategy
+    n = max(1, int(ray.cluster_resources().get("CPU", 4)))
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.max_hash_shuffle_aggregators = max(2, n // 4)
+    return ds.repartition(num_blocks=num_partitions or max(4, n // 2),
+                          keys=keys)
+
+
+def group_slices(sort_cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-key runs in already-sorted parallel arrays."""
+    n = len(sort_cols[0])
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    diff = np.zeros(n - 1, dtype=bool)
+    for c in sort_cols:
+        diff |= c[1:] != c[:-1]
+    change = np.flatnonzero(diff) + 1
+    return np.r_[0, change].astype(np.int64), \
+        np.r_[change, n].astype(np.int64)

@@ -176,32 +176,8 @@ def minhash_band_batch(batch: pa.Table, *, n_perm: int = N_PERM,
     return inst(batch)
 
 
-def _hash_partition(ds: "ray.data.Dataset", keys: list[str],
-                    num_partitions: int | None = None) -> "ray.data.Dataset":
-    """Hash-partition by keys so a follow-up map_batches(batch_size=None)
-    sees complete key groups per block — the cheap replacement for
-    groupby().map_groups(), whose per-group Python call dominates when
-    groups are numerous and tiny (measured 7.4 s vs <1 s on 160k LSH
-    bucket rows)."""
-    from ray.data.context import ShuffleStrategy
-    n = max(1, int(ray.cluster_resources().get("CPU", 4)))
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = max(2, n // 4)
-    return ds.repartition(num_blocks=num_partitions or max(4, n // 2),
-                          keys=keys)
-
-
-def _group_slices(sort_cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
-    """(starts, ends) of equal-key runs in already-sorted parallel arrays."""
-    n = len(sort_cols[0])
-    if n == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    diff = np.zeros(n - 1, dtype=bool)
-    for c in sort_cols:
-        diff |= c[1:] != c[:-1]
-    change = np.flatnonzero(diff) + 1
-    return np.r_[0, change].astype(np.int64), \
-        np.r_[change, n].astype(np.int64)
+from web_search_engine_ray.functions.grouping import (  # noqa: E402
+    group_slices as _group_slices, hash_partition as _hash_partition)
 
 
 def _bucket_pairs(batch: pa.Table) -> pa.Table:
@@ -272,10 +248,13 @@ def _collapse_fp_partition(batch: pa.Table) -> pa.Table:
                          pa.array(starts, pa.int64()))})
 
 
-def _dup_groups(docs: "ray.data.Dataset") -> pa.Table:
-    """Exact-duplicate groups: one row per distinct text —
-    (rep = min doc_id, members sorted, text).  Hash-partitioned on the
-    md5 digest; each partition holds complete fingerprint groups."""
+def _dup_groups_ds(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact-duplicate groups as a MATERIALIZED Dataset: one row per
+    distinct text — (rep = min doc_id, members sorted, text).  Hash-
+    partitioned on the md5 digest; each partition holds complete
+    fingerprint groups.  Materialized so the banding pass (texts, stays
+    distributed) and the member expansion (ids only, tiny) consume the
+    same blocks without re-execution."""
 
     def _h(batch: pa.Table) -> pa.Table:
         fps = [tp.text_md5(t) for t in batch.column("text").to_pylist()]
@@ -285,11 +264,14 @@ def _dup_groups(docs: "ray.data.Dataset") -> pa.Table:
 
     hashed = docs.select_columns(["doc_id", "text"]).map_batches(
         _h, batch_format="pyarrow", zero_copy_batch=True)
-    grouped = _hash_partition(hashed, ["fp"]).map_batches(
+    return _hash_partition(hashed, ["fp"]).map_batches(
         _collapse_fp_partition, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True)
-    batches = list(grouped.iter_batches(batch_format="pyarrow"))
-    batches = [b for b in batches if b.num_rows]
+        zero_copy_batch=True).materialize()
+
+
+def _dup_groups(docs: "ray.data.Dataset") -> pa.Table:
+    batches = [b for b in _dup_groups_ds(docs)
+               .iter_batches(batch_format="pyarrow") if b.num_rows]
     return pa.concat_tables(batches) if batches else pa.table(
         {"doc_id": pa.array([], pa.int64()),
          "members": pa.array([], pa.list_(pa.int64())),
@@ -313,7 +295,16 @@ def near_dup_pairs(docs: "ray.data.Dataset", docs_path: str,
     #dup-groups-with-copies — never by corpus size; at 100 TB both
     lookups become hash joins on doc_id instead of broadcast dicts.
     """
-    groups = _dup_groups(docs)
+    groups_ds = _dup_groups_ds(docs)
+    # members/texts driver-side: one row per DISTINCT text (bounded by
+    # distinct-content count, not corpus size; at 100 TB this expansion
+    # becomes a join on rep doc_id)
+    groups = pa.concat_tables(
+        [b for b in groups_ds.iter_batches(batch_format="pyarrow")
+         if b.num_rows] or
+        [pa.table({"doc_id": pa.array([], pa.int64()),
+                   "members": pa.array([], pa.list_(pa.int64())),
+                   "text": pa.array([], pa.string())})])
     rep_ids = groups.column("doc_id").to_pylist()
     rep_members = groups.column("members").to_pylist()
     rep_texts = groups.column("text").to_pylist()
@@ -324,9 +315,7 @@ def near_dup_pairs(docs: "ray.data.Dataset", docs_path: str,
     if not rep_ids:
         return empty
 
-    reps_ds = ray.data.from_arrow(
-        pa.table({"doc_id": pa.array(rep_ids, pa.int64()),
-                  "text": pa.array(rep_texts, pa.string())}))
+    reps_ds = groups_ds.select_columns(["doc_id", "text"])
     cand_batches = [b for b in minhash_candidates(reps_ds)
                     .iter_batches(batch_format="pyarrow") if b.num_rows]
     verified: list[tuple[int, int, float]] = []

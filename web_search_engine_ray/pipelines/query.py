@@ -36,6 +36,9 @@ def run_queries(index_dir: str, queries: "ray.data.Dataset | pa.Table",
     (stopword-class) queries split into doc-range shards scored in
     parallel (SURVEY.md G4 partial heaps) — rank-identical, pays off
     when per-query work dwarfs task overhead (very large corpora).
+    mode="auto": plan each query; route the few that plan into >1 shard
+    through the sharded path (they dominate the p95 tail), the rest
+    through WAND — results identical to either pure mode.
     The index is loaded once and shared via the object store either way
     (share_index), so actors never duplicate segment I/O.
     """
@@ -48,6 +51,33 @@ def run_queries(index_dir: str, queries: "ray.data.Dataset | pa.Table",
     n = max(1, int(ray.cluster_resources().get("CPU", 4)))
     if concurrency is None:
         concurrency = (1, min(n, 16))
+    if mode == "auto":
+        from web_search_engine_ray.stages.scorer import plan_query_shards
+        from web_search_engine_ray.state.manifest import read_stats
+        if queries_tbl is None:
+            queries_tbl = pa.concat_tables(
+                list(queries_ds.iter_batches(batch_format="pyarrow")))
+        stats = read_stats(index_dir)
+        n_docs = int(stats["max_doc_id"]) + 1
+        dictionary = _load_dictionary(index_dir)
+        heavy = [len(plan_query_shards(dictionary, n_docs, q,
+                                       max_shards=n)) > 1
+                 for q in queries_tbl.column("query").to_pylist()]
+        hmask = pa.array(heavy)
+        parts = []
+        light_tbl = queries_tbl.filter(pc.invert(hmask))
+        heavy_tbl = queries_tbl.filter(hmask)
+        if light_tbl.num_rows:
+            parts.append(run_queries(index_dir, light_tbl, k, "wand",
+                                     False, concurrency))
+        if heavy_tbl.num_rows:
+            parts.append(_run_queries_sharded(index_dir, heavy_tbl, k, n,
+                                              concurrency))
+        tbl = pa.concat_tables(parts) if parts else _empty_results()
+        if tbl.num_rows and attach_doc_meta:
+            tbl = attach_doc_metadata(index_dir, tbl)
+        return tbl.sort_by([("query_id", "ascending"),
+                            ("rank", "ascending")])
     if mode == "sharded":
         if queries_tbl is None:
             queries_tbl = pa.concat_tables(
@@ -122,21 +152,14 @@ def _run_queries_sharded(index_dir: str, queries: pa.Table, k: int,
                      "score": pa.array(out_s, pa.float64())})
 
 
-def _load_dictionary(index_dir: str) -> dict:
-    """term -> (bucket, df, cf, max_tf); cached per process."""
+def _load_dictionary(index_dir: str):
+    """Sorted Arrow-native Dictionary (binary-search lookups); cached
+    per process."""
+    from web_search_engine_ray.stages.scorer import Dictionary
     cache = _load_dictionary.__dict__.setdefault("_cache", {})
     if index_dir in cache:
         return cache[index_dir]
-    import glob
-    d: dict = {}
-    for path in sorted(glob.glob(os.path.join(index_dir, "dictionary",
-                                              "*.parquet"))):
-        t = pq.read_table(path)
-        for term, bucket, df, cf, mtf in zip(
-                t.column("term").to_pylist(), t.column("bucket").to_pylist(),
-                t.column("df").to_pylist(), t.column("cf").to_pylist(),
-                t.column("max_tf").to_pylist()):
-            d[term] = (bucket, df, cf, mtf)
+    d = Dictionary.load(index_dir)
     if len(cache) > 8:
         cache.clear()
     cache[index_dir] = d

@@ -24,6 +24,68 @@ from web_search_engine_ray.spec import (B, BLOCK_SIZE, K1, idf as idf_fn,
 from web_search_engine_ray.state.manifest import read_stats
 
 
+class Dictionary:
+    """Sorted Arrow-native term dictionary: term -> (bucket, df, cf,
+    max_tf) via binary search over parallel arrays — no per-row Python
+    dict materialization (the round-1 loader zip-looped the whole vocab
+    into a dict per process).  Pickles/plasma-shares as four arrays;
+    numpy views come back zero-copy.  At extreme vocab (10^12 docs) the
+    same structure shards by term range; lookup semantics unchanged."""
+
+    __slots__ = ("terms", "bucket", "df", "cf", "max_tf")
+
+    def __init__(self, tbl: pa.Table):
+        t = tbl.sort_by("term") if tbl.num_rows else tbl
+        self.terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        self.bucket = t.column("bucket").to_numpy().astype(np.int32) \
+            if t.num_rows else np.empty(0, np.int32)
+        self.df = t.column("df").to_numpy().astype(np.int64) \
+            if t.num_rows else np.empty(0, np.int64)
+        self.cf = t.column("cf").to_numpy().astype(np.int64) \
+            if t.num_rows else np.empty(0, np.int64)
+        self.max_tf = t.column("max_tf").to_numpy().astype(np.int32) \
+            if t.num_rows else np.empty(0, np.int32)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "Dictionary":
+        paths = sorted(glob.glob(os.path.join(index_dir, "dictionary",
+                                              "*.parquet")))
+        cols = ["term", "bucket", "df", "cf", "max_tf"]
+        if not paths:
+            return cls(pa.table({"term": pa.array([], pa.string()),
+                                 "bucket": pa.array([], pa.int32()),
+                                 "df": pa.array([], pa.int64()),
+                                 "cf": pa.array([], pa.int64()),
+                                 "max_tf": pa.array([], pa.int32())}))
+        return cls(pa.concat_tables(
+            [pq.read_table(p, columns=cols) for p in paths]))
+
+    def _find(self, term: str) -> int:
+        i = int(np.searchsorted(self.terms, term)) if len(self.terms) else 0
+        if i < len(self.terms) and self.terms[i] == term:
+            return i
+        return -1
+
+    def get(self, term: str, default=None):
+        i = self._find(term)
+        if i < 0:
+            return default
+        return (int(self.bucket[i]), int(self.df[i]), int(self.cf[i]),
+                int(self.max_tf[i]))
+
+    def __contains__(self, term: str) -> bool:
+        return self._find(term) >= 0
+
+    def __getitem__(self, term: str):
+        v = self.get(term)
+        if v is None:
+            raise KeyError(term)
+        return v
+
+    def __len__(self) -> int:
+        return len(self.terms)
+
+
 class IndexReader:
     """Opens an index dir once (per QueryScorer actor): dictionary,
     corpus stats, doc_len array, lazy per-bucket segment tables + an
@@ -53,18 +115,8 @@ class IndexReader:
                                      shared["segments"].items()}
         else:
             self._shared_segments = None
-            # dictionary: term -> (bucket, df, cf, max_tf)
-            self.dictionary = {}
-            for path in sorted(glob.glob(os.path.join(
-                    index_dir, "dictionary", "*.parquet"))):
-                t = pq.read_table(path)
-                for term, bucket, df, cf, mtf in zip(
-                        t.column("term").to_pylist(),
-                        t.column("bucket").to_pylist(),
-                        t.column("df").to_pylist(),
-                        t.column("cf").to_pylist(),
-                        t.column("max_tf").to_pylist()):
-                    self.dictionary[term] = (bucket, df, cf, mtf)
+            # sorted Arrow-native dictionary, binary-search lookups
+            self.dictionary = Dictionary.load(index_dir)
             # dense doc_len array from the DL_SENTINEL posting list
             # (first row of its bucket file — '\x00' sorts before any
             # real term)
