@@ -136,13 +136,46 @@ def main_bench() -> None:
 
 
 def _scaling_child(num_cpus: int) -> dict:
-    """Entry for a fresh-process scaling run (same corpus, fixed cpus)."""
+    """Entry for a fresh-process scaling run (same corpus, fixed cpus).
+
+    Index scratch defaults to tmpfs (WSE_SCRATCH=/dev/shm): the 8-vs-32
+    CPU stand-in shares ONE virtual disk across both levels, a
+    contention a real N-vs-4N-node cluster does not have (each node
+    brings its own disks) — tmpfs isolates the CPU-scaling signal the
+    criterion asks about.  Set WSE_SCRATCH=/tmp to measure the
+    disk-bound variant; BASELINE.md reports both.
+    """
+    import shutil as _sh
     _init_ray(num_cpus)
     corpus = ensure_corpus(SCALING_CONVS)
-    res = build_and_query(corpus, f"/tmp/wse_bench_idx_{num_cpus}")
+    scratch = os.environ.get("WSE_SCRATCH", "/dev/shm")
+    out = os.path.join(scratch, f"wse_bench_idx_{num_cpus}")
+    res = build_and_query(corpus, out)
+    _sh.rmtree(out, ignore_errors=True)
     import ray
     ray.shutdown()
     return res
+
+
+def _spin_probe(dur: float) -> int:
+    end = time.perf_counter() + dur
+    n = 0
+    while time.perf_counter() < end:
+        n += 1
+    return n
+
+
+def _host_noise_probe() -> dict:
+    """~3 s probe of host contention: single-process spin throughput vs
+    32-process aggregate; calm host => ratio close to n_cpus.  Recorded
+    in the scaling JSON so a noisy measurement window is visible."""
+    import concurrent.futures as cf
+    single = _spin_probe(1.0)
+    with cf.ProcessPoolExecutor(max_workers=32) as ex:
+        tot = sum(f.result() for f in
+                  [ex.submit(_spin_probe, 1.0) for _ in range(32)])
+    return {"single_spin": single, "spin32_total": tot,
+            "spin32_ratio": round(tot / single, 2)}
 
 
 def main_scaling() -> None:
@@ -163,6 +196,7 @@ def main_scaling() -> None:
     # reported on the MEDIANS, with every sample disclosed.
     import statistics
     n_samples = int(os.environ.get("WSE_SCALING_SAMPLES", "3"))
+    noise = _host_noise_probe()
     samples: dict[int, list[float]] = {8: [], 32: []}
     details = []
     for s in range(n_samples):
@@ -183,6 +217,8 @@ def main_scaling() -> None:
         "metric": "scaling_efficiency_8_to_32_cpus",
         "value": round(eff, 4),
         "unit": "ratio",
+        "host_noise": noise,
+        "scratch": os.environ.get("WSE_SCRATCH", "/dev/shm"),
         "protocol": f"median of {n_samples} interleaved samples per level",
         "thru_8cpu_turns_per_sec": med8,
         "thru_32cpu_turns_per_sec": med32,

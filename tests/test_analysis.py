@@ -232,3 +232,36 @@ def test_embedding_dup_chunked_matches_single_chunk(ray_session):
     assert one.equals(many)
     got = set(zip(one.vec_id_a, one.vec_id_b))
     assert (24, 25) in got and (32, 33) in got
+
+
+def test_group_topk(ray_session):
+    import ray.data
+    from web_search_engine_ray.pipelines.window import group_topk
+    tbl = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "grp": pa.array(["a", "a", "a", "a", "b", "b", "c", "c", "c", "c"]),
+        "score": pa.array([5, 9, 9, 1, 3, 3, 7, 7, 7, 2], pa.int64())})
+    out = group_topk(ray.data.from_arrow(tbl), key="grp",
+                     order_col="score", k=2).to_pandas()
+    # ties break by doc_id ascending
+    got = list(zip(out["grp"], out["rank"], out["doc_id"]))
+    assert got == [("a", 1, 1), ("a", 2, 2),
+                   ("b", 1, 4), ("b", 2, 5),
+                   ("c", 1, 6), ("c", 2, 7)]
+
+
+def test_tumbling_window_agg(ray_session):
+    import ray.data
+    from web_search_engine_ray.pipelines.window import tumbling_window_agg
+    h = 3_600_000_000
+    ts = np.array([0, h // 2, h, h + 1, 3 * h], dtype="int64")
+    tbl = pa.table({
+        "k": pa.array(["x", "x", "x", "y", "y"]),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "v": pa.array([1.0, 2.0, 4.0, 8.0, 16.0], pa.float64())})
+    out = tumbling_window_agg(ray.data.from_arrow(tbl), "k", "ts", "v",
+                              h).to_pandas()
+    rows = {(r.k, r.window_start.value // 1000): (r.n_events, r.total_value)
+            for r in out.itertuples()}
+    assert rows == {("x", 0): (2, 3.0), ("x", h): (1, 4.0),
+                    ("y", h): (1, 8.0), ("y", 3 * h): (1, 16.0)}

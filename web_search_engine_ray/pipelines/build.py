@@ -40,18 +40,31 @@ DICT_DIR = "dictionary"
 
 def dedup_turns(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """D1: drop duplicate (conv_id, turn_idx), keeping the earliest by ts
-    (tie: stable first).  Hash-partitioned groupby — the group payload is
-    the duplicate copies of one turn, so group size is bounded by the
-    duplication factor, never by corpus size."""
+    (tie: stable first).  Hash partition on (conv_id, turn_idx) + ONE
+    vectorized pass per partition (sort + run-first selection) — group
+    payload is the duplicate copies of one turn, so partition size is
+    bounded by turns × duplication factor, and there is no per-group
+    Python call (functions/grouping.py pattern)."""
+    import numpy as np
 
-    def first_by_ts(group: pa.Table) -> pa.Table:
-        if group.num_rows <= 1:
-            return group
-        idx = pa.compute.sort_indices(group, sort_keys=[("ts", "ascending")])
-        return group.take(idx[:1])
+    from web_search_engine_ray.functions.grouping import (group_slices,
+                                                          hash_partition)
 
-    return ds.groupby(["conv_id", "turn_idx"]).map_groups(
-        first_by_ts, batch_format="pyarrow")
+    def first_by_ts_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= 1:
+            return batch
+        idx = pa.compute.sort_indices(batch, sort_keys=[
+            ("conv_id", "ascending"), ("turn_idx", "ascending"),
+            ("ts", "ascending")])
+        t = batch.take(idx)
+        conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        turn = t.column("turn_idx").to_numpy()
+        starts, _ends = group_slices([conv, turn])
+        return t.take(pa.array(starts, pa.int64()))
+
+    return hash_partition(ds, ["conv_id", "turn_idx"]).map_batches(
+        first_by_ts_partition, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
 
 
 def filter_turns(ds: "ray.data.Dataset", expr: str) -> "ray.data.Dataset":
@@ -153,7 +166,7 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
         _clean(doc_dir)
         # pure metadata+text pass: doc_len lives in the DL_SENTINEL
         # posting list (A1), so this pass never tokenizes
-        corpus_ds().write_parquet(doc_dir)
+        corpus_ds().write_parquet(doc_dir, compression="zstd")
         _mark("doc_table")
         man.mark_done("doc_table")
 
@@ -208,7 +221,16 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
         indexer_kwargs = dict(hot_ref=hot_ref, num_buckets=cfg.num_buckets,
                               salt_s=cfg.salt_s,
                               n_docs=max(1, stats["max_doc_id"] + 1))
-        src = corpus_ds().select_columns(["doc_id", "text"])
+        # read the checkpointed doc_table (doc_id already assigned,
+        # column-pruned to the two indexing columns) instead of
+        # re-scanning + re-assigning the raw corpus — one corpus scan
+        # saved per build, and the partials stage becomes a pure
+        # (read -> tokenize -> encode) pipeline
+        if os.path.exists(doc_dir) and \
+                os.environ.get("WSE_PARTIALS_FROM_DOCTABLE", "1") != "0":
+            src = ray.data.read_parquet(doc_dir, columns=["doc_id", "text"])
+        else:  # empty corpus: no doc_table files were written
+            src = corpus_ds().select_columns(["doc_id", "text"])
         if cfg.indexer_actor_pool:
             partials = src.map_batches(
                 PartitionIndexer,
@@ -229,9 +251,9 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
             _clean(partials_dir)
             if cfg.materialize_partials:
                 live_partials = partials.materialize()
-                live_partials.write_parquet(partials_dir)
+                live_partials.write_parquet(partials_dir, compression="zstd")
             else:
-                partials.write_parquet(partials_dir)
+                partials.write_parquet(partials_dir, compression="zstd")
             _mark("partials")
             man.mark_done("partials", checkpointed=True)
         else:

@@ -32,13 +32,13 @@ def run_queries(index_dir: str, queries: "ray.data.Dataset | pa.Table",
     sorted by (query_id, rank).
 
     mode="wand" (default): one actor-task per query batch, block-max
-    WAND with the lossless path policy.  mode="sharded": heavy
-    (stopword-class) queries split into doc-range shards scored in
-    parallel (SURVEY.md G4 partial heaps) — rank-identical, pays off
-    when per-query work dwarfs task overhead (very large corpora).
-    mode="auto": plan each query; route the few that plan into >1 shard
-    through the sharded path (they dominate the p95 tail), the rest
-    through WAND — results identical to either pure mode.
+    WAND with the lossless path policy — the streaming form for very
+    large query sets (no driver-side planning).  mode="sharded" /
+    "auto" (equivalent): plan each query against the dictionary; light
+    queries become one full-range shard (scored by WAND inside the
+    task), heavy (stopword-class) queries split into doc-range shards
+    scored in parallel (SURVEY.md G4 partial heaps) — rank-identical to
+    pure WAND, and the parallel heavy path dominates the p95 tail.
     The index is loaded once and shared via the object store either way
     (share_index), so actors never duplicate segment I/O.
     """
@@ -50,35 +50,13 @@ def run_queries(index_dir: str, queries: "ray.data.Dataset | pa.Table",
         queries_tbl = None
     n = max(1, int(ray.cluster_resources().get("CPU", 4)))
     if concurrency is None:
-        concurrency = (1, min(n, 16))
-    if mode == "auto":
-        from web_search_engine_ray.stages.scorer import plan_query_shards
-        from web_search_engine_ray.state.manifest import read_stats
-        if queries_tbl is None:
-            queries_tbl = pa.concat_tables(
-                list(queries_ds.iter_batches(batch_format="pyarrow")))
-        stats = read_stats(index_dir)
-        n_docs = int(stats["max_doc_id"]) + 1
-        dictionary = _load_dictionary(index_dir)
-        heavy = [len(plan_query_shards(dictionary, n_docs, q,
-                                       max_shards=n)) > 1
-                 for q in queries_tbl.column("query").to_pylist()]
-        hmask = pa.array(heavy)
-        parts = []
-        light_tbl = queries_tbl.filter(pc.invert(hmask))
-        heavy_tbl = queries_tbl.filter(hmask)
-        if light_tbl.num_rows:
-            parts.append(run_queries(index_dir, light_tbl, k, "wand",
-                                     False, concurrency))
-        if heavy_tbl.num_rows:
-            parts.append(_run_queries_sharded(index_dir, heavy_tbl, k, n,
-                                              concurrency))
-        tbl = pa.concat_tables(parts) if parts else _empty_results()
-        if tbl.num_rows and attach_doc_meta:
-            tbl = attach_doc_metadata(index_dir, tbl)
-        return tbl.sort_by([("query_id", "ascending"),
-                            ("rank", "ascending")])
-    if mode == "sharded":
+        # fixed pool: autoscaling (1, n) ramps too slowly for a serve
+        # call that lives seconds; index open is cheap via share_index
+        # (plasma views), so spinning the whole pool up front wins.
+        # ALWAYS leave >= 2 CPUs for upstream tasks (repartition/read) —
+        # a pool grabbing every CPU deadlocks the pipeline.
+        concurrency = max(1, min(8, n - 2))
+    if mode in ("auto", "sharded"):
         if queries_tbl is None:
             queries_tbl = pa.concat_tables(
                 list(queries_ds.iter_batches(batch_format="pyarrow")))
@@ -86,11 +64,18 @@ def run_queries(index_dir: str, queries: "ray.data.Dataset | pa.Table",
     else:
         if queries_ds is None:
             queries_ds = ray.data.from_arrow(queries_tbl)
+            # from_arrow yields ONE block = one task = a sequential
+            # serve; split so the pool actually runs in parallel
+            nb = max(1, min(4 * (concurrency if isinstance(concurrency, int)
+                                 else concurrency[1]),
+                            (queries_tbl.num_rows + 7) // 8))
+            if nb > 1:
+                queries_ds = queries_ds.repartition(num_blocks=nb)
         from web_search_engine_ray.stages.scorer import share_index
         shared = share_index(index_dir)
         results = queries_ds.map_batches(
             QueryScorer, fn_constructor_args=(index_dir, k, mode, shared),
-            batch_format="pyarrow", batch_size=16, concurrency=concurrency,
+            batch_format="pyarrow", batch_size=8, concurrency=concurrency,
         )
         batches = list(results.iter_batches(batch_format="pyarrow"))
         tbl = pa.concat_tables(batches) if batches else _empty_results()
@@ -125,7 +110,11 @@ def _run_queries_sharded(index_dir: str, queries: pa.Table, k: int,
                          "hi": pa.array(his, pa.int64())})
     from web_search_engine_ray.stages.scorer import share_index
     shared = share_index(index_dir)
-    parts = ray.data.from_arrow(expanded).map_batches(
+    shard_ds = ray.data.from_arrow(expanded)
+    nb = max(1, min(64, (expanded.num_rows + 1) // 2))
+    if nb > 1:   # one block = one task = sequential scoring
+        shard_ds = shard_ds.repartition(num_blocks=nb)
+    parts = shard_ds.map_batches(
         ShardScorer, fn_constructor_args=(index_dir, k, shared),
         batch_format="pyarrow", batch_size=4, concurrency=concurrency)
     batches = list(parts.iter_batches(batch_format="pyarrow"))

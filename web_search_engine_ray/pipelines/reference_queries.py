@@ -227,6 +227,34 @@ def dedup_embedding(sf_dir: str) -> pa.Table:
     return embedding_dup_pairs(ds, threshold=0.45)
 
 
+def quality_topk_per_lang(sf_dir: str) -> pa.Table:
+    """Group-wise top-k (window-function analog): 3 longest docs per
+    language — exercises pipelines/window.py:group_topk."""
+    from web_search_engine_ray.pipelines.analysis import doc_tokens_batch
+    from web_search_engine_ray.pipelines.window import group_topk
+
+    def with_lang(batch: pa.Table) -> pa.Table:
+        toks = doc_tokens_batch(batch)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "n_tokens": toks.column("n_tokens")})
+
+    ds = _docs_ds(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        with_lang, batch_format="pyarrow", zero_copy_batch=True)
+    return group_topk(ds, key="lang", order_col="n_tokens", k=3)
+
+
+def events_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling-window aggregate: per (event_type, hour) count + sum —
+    exercises pipelines/window.py:tumbling_window_agg."""
+    from web_search_engine_ray.pipelines.window import tumbling_window_agg
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts", "value"])
+    return tumbling_window_agg(ds, key="event_type", ts_col="ts",
+                               value_col="value",
+                               width_us=3_600_000_000)
+
+
 def events_sessionize(sf_dir: str) -> pa.Table:
     from web_search_engine_ray.pipelines.sessionize import sessionize
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -551,6 +579,22 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
 FROM q a JOIN q b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.45
 ORDER BY 1, 2""",
+    "quality_topk_per_lang": """
+WITH d AS (SELECT lang, doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+             AS n_tokens
+           FROM documents),
+r AS (SELECT lang, doc_id, n_tokens,
+      CAST(row_number() OVER (PARTITION BY lang
+                              ORDER BY n_tokens DESC, doc_id) AS INTEGER)
+        AS rank
+      FROM d)
+SELECT lang, doc_id, n_tokens, rank FROM r WHERE rank <= 3
+ORDER BY lang, rank""",
+    "events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_sessionize": """
 WITH gaps AS (SELECT user_id, ts,
   CASE WHEN lag(ts) OVER w IS NULL
@@ -591,6 +635,8 @@ QUERIES = {
     "events_json": events_json,
     "ngram_jaccard": ngram_jaccard,
     "dedup_embedding": dedup_embedding,
+    "quality_topk_per_lang": quality_topk_per_lang,
+    "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "transcripts_bm25": transcripts_bm25,
 }

@@ -1,0 +1,118 @@
+"""Windowed / group-wise operators Ray Data lacks natively, expressed
+as hash-partition + one vectorized pass per partition (the same
+partitioning contract as functions/grouping.py — complete key groups
+per block).
+
+- group_topk: per-group top-k by an order column (the engine analog of
+  SQL ``row_number() OVER (PARTITION BY ... ORDER BY ...) <= k``).
+- tumbling_window_agg: fixed-width event-time windows per key (count +
+  sum), the batch form of a streaming tumbling-window aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from web_search_engine_ray.functions.grouping import (group_slices,
+                                                      hash_partition)
+
+
+def group_topk(ds: "ray.data.Dataset", key: str, order_col: str,
+               k: int, ascending: bool = False) -> pa.Table:
+    """Top-k rows per key group, ordered by (order_col desc|asc,
+    then remaining columns' first — deterministic via doc-order sort
+    keys supplied by the caller's table).  Ties broken by the first
+    int64 id-like column after the key for stability.
+
+    One hash shuffle + one vectorized partition pass; per-group heap
+    size k, never a global sort.
+    """
+    schema_names = [n for n in ds.schema().names]
+    id_col = next(n for n in schema_names if n not in (key, order_col))
+
+    def topk_partition(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if batch.num_rows == 0:
+            return batch.append_column("rank", pa.array([], pa.int32()))
+        idx = pc.sort_indices(batch, sort_keys=[
+            (key, "ascending"),
+            (order_col, "descending" if not ascending else "ascending"),
+            (id_col, "ascending")])
+        t = batch.take(idx)
+        keys_np = np.asarray(t.column(key).to_pylist(), dtype=object)
+        starts, ends = group_slices([keys_np])
+        take_idx, ranks = [], []
+        for s, e in zip(starts, ends):
+            n = min(k, e - s)
+            take_idx.extend(range(s, s + n))
+            ranks.extend(range(1, n + 1))
+        out = t.take(pa.array(take_idx, pa.int64()))
+        return out.append_column("rank", pa.array(ranks, pa.int32()))
+
+    parts = hash_partition(ds, [key]).map_batches(
+        topk_partition, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+    batches = [b for b in parts.iter_batches(batch_format="pyarrow")
+               if b.num_rows]
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches).sort_by(
+        [(key, "ascending"), ("rank", "ascending")])
+
+
+def tumbling_window_agg(events: "ray.data.Dataset", key: str,
+                        ts_col: str, value_col: str,
+                        width_us: int) -> pa.Table:
+    """Per (key, fixed ts window): count + sum(value).  window_start is
+    the window's inclusive lower bound as timestamp[us].
+
+    Pre-aggregates inside map_batches (combiner) so the shuffle carries
+    one row per (block, key, window), then a small hash groupby — the
+    pre-aggregate bounds shuffle volume by keys×windows per block, not
+    by event count.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        ts = batch.column(ts_col).to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        win = (ts // width_us) * width_us
+        df = pd.DataFrame({
+            "key": batch.column(key).to_pandas(),
+            "window_us": win,
+            "value": batch.column(value_col).to_numpy(),
+        })
+        g = df.groupby(["key", "window_us"], sort=False).agg(
+            n=("value", "size"), total=("value", "sum")).reset_index()
+        return pa.table({
+            key: pa.array(g["key"]),
+            "window_us": pa.array(g["window_us"].to_numpy(), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            "total": pa.array(g["total"].to_numpy(), pa.float64()),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = (events.select_columns([key, ts_col, value_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby([key, "window_us"])
+           .aggregate(Sum("n"), Sum("total")))
+    batches = [b for b in agg.iter_batches(batch_format="pyarrow")
+               if b.num_rows]
+    if not batches:
+        return pa.table({key: pa.array([], pa.string()),
+                         "window_start": pa.array([], pa.timestamp("us")),
+                         "n_events": pa.array([], pa.int64()),
+                         "total_value": pa.array([], pa.float64())})
+    t = pa.concat_tables(batches)
+    return pa.table({
+        key: t.column(key),
+        "window_start": t.column("window_us").cast(pa.timestamp("us")),
+        "n_events": t.column("sum(n)").cast(pa.int64()),
+        "total_value": pa.array(
+            np.round(t.column("sum(total)").to_numpy(zero_copy_only=False)
+                     .astype(np.float64), 6)),
+    }).sort_by([(key, "ascending"), ("window_start", "ascending")])
