@@ -166,16 +166,28 @@ def _spin_probe(dur: float) -> int:
 
 
 def _host_noise_probe() -> dict:
-    """~3 s probe of host contention: single-process spin throughput vs
-    32-process aggregate; calm host => ratio close to n_cpus.  Recorded
-    in the scaling JSON so a noisy measurement window is visible."""
+    """~4 s probe of DELIVERED host capacity: aggregate spin throughput
+    at 1, 8 and 32 processes.  On this shared VM the hypervisor often
+    delivers only ~20-26 effective cores to 32 spinners, so
+    spin32/spin8 (the capacity the 8-vs-32 stand-in can physically
+    express, ideal 4.0) is recorded per sample pair and used to
+    capacity-normalize scaling efficiency."""
     import concurrent.futures as cf
-    single = _spin_probe(1.0)
-    with cf.ProcessPoolExecutor(max_workers=32) as ex:
-        tot = sum(f.result() for f in
-                  [ex.submit(_spin_probe, 1.0) for _ in range(32)])
-    return {"single_spin": single, "spin32_total": tot,
-            "spin32_ratio": round(tot / single, 2)}
+
+    def agg(nproc: int) -> int:
+        if nproc == 1:
+            return _spin_probe(1.0)
+        with cf.ProcessPoolExecutor(max_workers=nproc) as ex:
+            return sum(f.result() for f in
+                       [ex.submit(_spin_probe, 1.0) for _ in range(nproc)])
+
+    single = agg(1)
+    s8 = agg(8)
+    s32 = agg(32)
+    return {"single_spin": single, "spin8_total": s8, "spin32_total": s32,
+            "spin8_ratio": round(s8 / single, 2),
+            "spin32_ratio": round(s32 / single, 2),
+            "capacity_32_over_8": round(s32 / s8, 3)}
 
 
 def main_scaling() -> None:
@@ -196,10 +208,11 @@ def main_scaling() -> None:
     # reported on the MEDIANS, with every sample disclosed.
     import statistics
     n_samples = int(os.environ.get("WSE_SCALING_SAMPLES", "3"))
-    noise = _host_noise_probe()
     samples: dict[int, list[float]] = {8: [], 32: []}
     details = []
+    noises = []
     for s in range(n_samples):
+        noises.append(_host_noise_probe())   # capacity DURING this pair
         for p in (8, 32):
             proc = subprocess.run(
                 [sys.executable, __file__, "--scaling-child", str(p)],
@@ -213,19 +226,29 @@ def main_scaling() -> None:
     med8 = statistics.median(samples[8])
     med32 = statistics.median(samples[32])
     eff = (med32 / med8) / 4
+    # capacity-normalized: divide by what the host actually delivered
+    # (spin32/spin8, ideal 4.0) in each sample's window — the 8-vs-32
+    # stand-in cannot express more speedup than the hypervisor grants
+    caps = [n["capacity_32_over_8"] for n in noises]
+    per_eff_norm = [round((b / a) / c, 4) for a, b, c in
+                    zip(samples[8], samples[32], caps)]
     print(json.dumps({
         "metric": "scaling_efficiency_8_to_32_cpus",
         "value": round(eff, 4),
+        "capacity_normalized_value": round(
+            statistics.median(per_eff_norm), 4),
         "unit": "ratio",
-        "host_noise": noise,
+        "host_capacity_probes": noises,
         "scratch": os.environ.get("WSE_SCRATCH", "/dev/shm"),
-        "protocol": f"median of {n_samples} interleaved samples per level",
+        "protocol": f"median of {n_samples} interleaved samples per level; "
+                    "capacity probe (spin 1/8/32 procs) before each pair",
         "thru_8cpu_turns_per_sec": med8,
         "thru_32cpu_turns_per_sec": med32,
         "samples_8cpu": samples[8],
         "samples_32cpu": samples[32],
         "per_sample_efficiency": [round((b / a) / 4, 4) for a, b in
                                   zip(samples[8], samples[32])],
+        "per_sample_efficiency_capacity_normalized": per_eff_norm,
         "detail": details,
         "bench_corpus_convs": SCALING_CONVS,
     }))

@@ -227,6 +227,22 @@ def dedup_embedding(sf_dir: str) -> pa.Table:
     return embedding_dup_pairs(ds, threshold=0.45)
 
 
+def docs_sample(sf_dir: str) -> pa.Table:
+    """O5: deterministic systematic sampling (doc_id stride) — the
+    reproducible form of corpus sampling (random_sample() is
+    seed-unstable across cluster layouts, so the engine pins stride
+    sampling for anything correctness-adjacent)."""
+    import pyarrow.compute as pc
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(batch.column("doc_id"), 15), 0)
+        return batch.filter(keep)
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(ds).sort_by([("doc_id", "ascending")])
+
+
 def quality_topk_per_lang(sf_dir: str) -> pa.Table:
     """Group-wise top-k (window-function analog): 3 longest docs per
     language — exercises pipelines/window.py:group_topk."""
@@ -579,6 +595,9 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
 FROM q a JOIN q b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.45
 ORDER BY 1, 2""",
+    "docs_sample": """
+SELECT doc_id, text, lang FROM documents WHERE doc_id % 16 = 0
+ORDER BY doc_id""",
     "quality_topk_per_lang": """
 WITH d AS (SELECT lang, doc_id,
            len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
@@ -635,6 +654,7 @@ QUERIES = {
     "events_json": events_json,
     "ngram_jaccard": ngram_jaccard,
     "dedup_embedding": dedup_embedding,
+    "docs_sample": docs_sample,
     "quality_topk_per_lang": quality_topk_per_lang,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
