@@ -265,3 +265,49 @@ def test_tumbling_window_agg(ray_session):
             for r in out.itertuples()}
     assert rows == {("x", 0): (2, 3.0), ("x", h): (1, 4.0),
                     ("y", h): (1, 8.0), ("y", 3 * h): (1, 16.0)}
+
+
+def _make_bmp(w, h, fill=0x40):
+    import struct
+    row = ((w * 3 + 3) // 4) * 4          # 24bpp rows pad to 4 bytes
+    pix = bytes([fill]) * (row * h)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(pix), 2835, 2835, 0, 0))
+    return header + pix
+
+
+def _make_wav(channels, bits, n_frames, rate=8000):
+    import struct
+    block = channels * bits // 8
+    data = bytes(n_frames * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                      block, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_real_media_decoders(ray_session):
+    """BMP/WAV decode for real (pure stdlib) through the actor-pool
+    stage — the multimodal plumbing is no longer stub-only."""
+    import ray.data
+    from web_search_engine_ray.stages.media import (BmpDecoder,
+                                                    MediaFeatureStage,
+                                                    WavDecoder)
+    w, h = BmpDecoder().decode(_make_bmp(17, 9), "image")[:2]
+    assert (w, h) == (17, 9)
+    ch, bits, nfr, feats = WavDecoder().decode(_make_wav(2, 16, 1000), "audio")
+    assert (ch, bits, nfr) == (2, 16, 1000)
+    assert len(feats) == 16 and abs(float(feats.sum()) - 1.0) < 1e-5
+
+    tbl = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["image", "image"], pa.string()),
+        "payload": pa.array([_make_bmp(4, 3), _make_bmp(8, 2)],
+                            pa.large_binary()),
+        "mime": pa.array(["image/bmp"] * 2, pa.string())})
+    out = ray.data.from_arrow(tbl).map_batches(
+        MediaFeatureStage, fn_constructor_args=(BmpDecoder(),),
+        batch_format="pyarrow", batch_size=2, concurrency=1).to_pandas()
+    assert list(out.width) == [4, 8] and list(out.height) == [3, 2]

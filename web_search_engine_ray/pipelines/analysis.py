@@ -59,6 +59,66 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
                      "confidence": pa.array(confs, pa.float64())})
 
 
+_WS_RE = None
+_SUBWORD_RE = None
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """Token counting: whitespace tokens, pinned regex tokens, BPE-ish
+    subword pieces (runs of <=4 alnum chars — a deterministic stand-in
+    for a learned-merge tokenizer's piece count), distinct terms.
+    Regexes compiled once per worker process (module-level cache);
+    re.ASCII pins \\S to RE2/DuckDB semantics."""
+    import re
+
+    from web_search_engine_ray.spec import TOKEN_RE
+    global _WS_RE, _SUBWORD_RE
+    if _WS_RE is None:
+        _WS_RE = re.compile(r"\S+", re.ASCII)
+        _SUBWORD_RE = re.compile(r"[a-z0-9]{1,4}")
+    n_ws, n_tok, n_sub, n_uniq = [], [], [], []
+    for t in batch.column("text").to_pylist():
+        low = t.lower()
+        toks = TOKEN_RE.findall(low)
+        n_ws.append(len(_WS_RE.findall(t)))
+        n_tok.append(len(toks))
+        n_sub.append(len(_SUBWORD_RE.findall(low)))
+        n_uniq.append(len(set(toks)))
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "n_ws_tokens": pa.array(n_ws, pa.int64()),
+                     "n_tokens": pa.array(n_tok, pa.int64()),
+                     "n_subwords": pa.array(n_sub, pa.int64()),
+                     "n_unique_terms": pa.array(n_uniq, pa.int64())})
+
+
+def winnow_batch(batch: pa.Table, k: int = 3, w: int = 4) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer et al.'s rolling-
+    window scheme): md5 each k-word shingle IN POSITION ORDER, slide a
+    w-window over the hash sequence, keep each window's minimum;
+    fingerprint = the distinct selected hashes.  Emitted exploded as
+    (doc_id, fp_hash) rows — SQL-comparable and join-friendly.  Docs
+    with fewer than k+w-1 tokens have no complete window and emit no
+    rows (oracle parity)."""
+    import hashlib as _hl
+
+    from web_search_engine_ray.spec import tokenize
+    ids_out, fp_out = [], []
+    for d, text in zip(batch.column("doc_id").to_pylist(),
+                       batch.column("text").to_pylist()):
+        toks = tokenize(text)
+        n_sh = len(toks) - k + 1
+        if n_sh < w:
+            continue
+        hs = [_hl.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+              for i in range(n_sh)]
+        sel = {min(hs[i:i + w]) for i in range(n_sh - w + 1)}
+        for h in sorted(sel):
+            ids_out.append(d)
+            fp_out.append(h)
+    return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                     "fp_hash": pa.array(fp_out, pa.string())})
+
+
 # --- exact dedup (D1 generalized: by content) ----------------------------
 
 

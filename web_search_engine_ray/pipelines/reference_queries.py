@@ -199,6 +199,42 @@ def media_features(sf_dir: str) -> pa.Table:
         .sort_by([("media_id", "ascending")])
 
 
+def media_wav(sf_dir: str) -> pa.Table:
+    """REAL audio decode end-to-end: wrap each doc's text bytes as a
+    mono 16-bit PCM WAV payload, decode through the actor-pool stage
+    with WavDecoder (pure-stdlib RIFF walk — no codec libs), verify
+    frame counts in SQL via byte length."""
+    import struct
+
+    from web_search_engine_ray.stages.media import (MediaFeatureStage,
+                                                    WavDecoder)
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch.column("text").to_pylist():
+            data = t.encode()
+            data = data[:len(data) // 2 * 2]        # whole 16-bit frames
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data)
+            payloads.append(b"RIFF" + struct.pack("<I", 4 + len(body))
+                            + b"WAVE" + body)
+        n = batch.num_rows
+        return pa.table({
+            "media_id": batch.column("doc_id"),
+            "kind": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["audio/wav"] * n, pa.string())})
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]) \
+        .map_batches(to_wav, batch_format="pyarrow") \
+        .map_batches(MediaFeatureStage, fn_constructor_args=(WavDecoder(),),
+                     batch_format="pyarrow", batch_size=64,
+                     concurrency=(1, 4))
+    return _collect(ds).drop_columns(["features"]) \
+        .sort_by([("media_id", "ascending")])
+
+
 def events_by_type(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Sum
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -225,6 +261,21 @@ def dedup_embedding(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     return embedding_dup_pairs(ds, threshold=0.45)
+
+
+def winnow_fingerprint(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.analysis import winnow_batch
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        winnow_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(ds).sort_by([("doc_id", "ascending"),
+                                 ("fp_hash", "ascending")])
+
+
+def token_stats(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.analysis import token_stats_batch
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(ds).sort_by([("doc_id", "ascending")])
 
 
 def docs_sample(sf_dir: str) -> pa.Table:
@@ -595,6 +646,35 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
 FROM q a JOIN q b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.45
 ORDER BY 1, 2""",
+    "winnow_fingerprint": """
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') toks
+           FROM documents),
+sh AS (SELECT doc_id, i.i AS pos,
+              md5(concat_ws(' ', toks[i.i], toks[i.i+1], toks[i.i+2])) AS h,
+              len(toks) - 2 AS n_sh
+       FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks)-1)) AS i) i
+       WHERE len(toks) >= 3),
+wmin AS (SELECT doc_id, pos, n_sh,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+         FROM sh)
+SELECT DISTINCT doc_id, mh AS fp_hash
+FROM wmin WHERE pos <= n_sh - 3
+ORDER BY doc_id, fp_hash""",
+    "token_stats": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}'))::BIGINT
+         AS n_subwords,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+         ::BIGINT AS n_unique_terms
+FROM documents ORDER BY doc_id""",
+    "media_wav": """
+SELECT doc_id AS media_id, 'audio' AS kind, CAST(1 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) // 2 AS INTEGER) AS n_frames
+FROM documents ORDER BY media_id""",
     "docs_sample": """
 SELECT doc_id, text, lang FROM documents WHERE doc_id % 16 = 0
 ORDER BY doc_id""",
@@ -650,10 +730,13 @@ QUERIES = {
     "knn_cosine": knn_cosine,
     "knn_ivf": knn_ivf_q,             # rows-only (approximate; recall pytest)
     "media_features": media_features,
+    "media_wav": media_wav,
     "events_by_type": events_by_type,
     "events_json": events_json,
     "ngram_jaccard": ngram_jaccard,
     "dedup_embedding": dedup_embedding,
+    "winnow_fingerprint": winnow_fingerprint,
+    "token_stats": token_stats,
     "docs_sample": docs_sample,
     "quality_topk_per_lang": quality_topk_per_lang,
     "events_hourly": events_hourly,

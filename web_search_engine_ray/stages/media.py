@@ -41,18 +41,75 @@ class FakeDecoder:
         return width, height, n_frames, feats
 
 
+class BmpDecoder:
+    """REAL image decode for uncompressed BMP (pure stdlib: the format
+    is a fixed header + pixel array, no codec library needed).
+    Features = 16-bin normalized byte-value histogram of the pixel
+    array.  Compressed formats (JPEG/PNG) still need ImageDecoder."""
+
+    def decode(self, payload: bytes, kind: str):
+        import struct
+        if len(payload) < 54 or payload[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        data_off, = struct.unpack_from("<I", payload, 10)
+        width, height = struct.unpack_from("<ii", payload, 18)
+        height = abs(height)                 # negative = top-down rows
+        px = np.frombuffer(payload, dtype=np.uint8, offset=data_off)
+        hist = np.bincount(px >> 4, minlength=FEATURE_DIM) if len(px) \
+            else np.zeros(FEATURE_DIM, dtype=np.int64)
+        feats = (hist / max(1, len(px))).astype(np.float32)
+        return int(width), int(height), 1, feats
+
+
+class WavDecoder:
+    """REAL audio decode for PCM WAV (pure stdlib RIFF chunk walk).
+    Returns (n_channels, bits_per_sample, n_sample_frames, features);
+    features = 16-bin normalized byte histogram of the data chunk.
+    Compressed audio (mp3/ogg) still needs AudioDecoder."""
+
+    def decode(self, payload: bytes, kind: str):
+        import struct
+        if len(payload) < 12 or payload[:4] != b"RIFF" \
+                or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos = 12
+        channels = bits = block_align = 0
+        data = b""
+        while pos + 8 <= len(payload):
+            cid, size = payload[pos:pos + 4], \
+                struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8:pos + 8 + size]
+            if cid == b"fmt ":
+                channels, = struct.unpack_from("<H", body, 2)
+                block_align, = struct.unpack_from("<H", body, 12)
+                bits, = struct.unpack_from("<H", body, 14)
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)     # chunks are word-aligned
+        if not channels or not block_align:
+            raise ValueError("WAV without fmt chunk")
+        n_frames = len(data) // block_align
+        px = np.frombuffer(data, dtype=np.uint8)
+        hist = np.bincount(px >> 4, minlength=FEATURE_DIM) if len(px) \
+            else np.zeros(FEATURE_DIM, dtype=np.int64)
+        feats = (hist / max(1, len(px))).astype(np.float32)
+        return int(channels), int(bits), int(n_frames), feats
+
+
 class ImageDecoder:
     def decode(self, payload: bytes, kind: str):
         raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "plug a PIL/opencv decoder here")
+            "compressed-image codecs (JPEG/PNG) are not available in "
+            "this environment; plug a PIL/opencv decoder here "
+            "(uncompressed BMP decodes for real via BmpDecoder)")
 
 
 class AudioDecoder:
     def decode(self, payload: bytes, kind: str):
         raise NotImplementedError(
-            "audio codecs are not available in this environment; "
-            "plug an ffmpeg/librosa decoder here")
+            "compressed-audio codecs are not available in this "
+            "environment; plug an ffmpeg/librosa decoder here "
+            "(PCM WAV decodes for real via WavDecoder)")
 
 
 class MediaFeatureStage:
