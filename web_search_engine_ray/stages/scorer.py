@@ -106,6 +106,7 @@ class IndexReader:
         self.N = float(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
         self.dl_min = float(self.stats["dl_min"])
+        self._shared_decoded = {}
         if shared is not None:
             shared = _ray.get(shared) if isinstance(shared, _ray.ObjectRef) \
                 else shared
@@ -113,6 +114,8 @@ class IndexReader:
             self.doc_lens = _ray.get(shared["doc_lens"])
             self._shared_segments = {b: ref for b, ref in
                                      shared["segments"].items()}
+            # hot terms pre-decoded ONCE at share time; plasma zero-copy
+            self._shared_decoded = dict(shared.get("decoded", {}))
         else:
             self._shared_segments = None
             # sorted Arrow-native dictionary, binary-search lookups
@@ -188,14 +191,21 @@ class IndexReader:
 
     def decoded(self, term: str):
         """Fully-decoded (doc_ids, tfs) with a small cache — hot terms
-        are decoded once per actor, not once per query."""
+        come zero-copy from the share_index plasma pre-decode (decoded
+        once per CLUSTER, not once per actor); the rest decode once per
+        actor."""
         hit = self._decoded_cache.get(term)
         if hit is not None:
             return hit
-        enc = self.postings(term)
-        if enc is None:
-            return None
-        pair = codec.decode_postings(enc.doc_bytes, enc.tf_bytes, enc.n)
+        ref = self._shared_decoded.get(term)
+        if ref is not None:
+            import ray as _ray
+            pair = _ray.get(ref)          # zero-copy numpy views
+        else:
+            enc = self.postings(term)
+            if enc is None:
+                return None
+            pair = codec.decode_postings(enc.doc_bytes, enc.tf_bytes, enc.n)
         if len(self._decoded_cache) >= 256:
             self._decoded_cache.clear()
         self._decoded_cache[term] = pair
@@ -205,10 +215,17 @@ class IndexReader:
         """Decode only the posting blocks intersecting doc range
         [lo, hi) — block-max metadata gives the byte extents, so a
         doc-range shard costs O(its share of postings), never a full
-        list decode (the substrate of sharded serving)."""
+        list decode (the substrate of sharded serving).  Terms that are
+        already decoded (share_index pre-decode in plasma, or this
+        actor's cache) slice zero-copy instead."""
         enc = self.postings(term)
         if enc is None:
             return None
+        if term in self._decoded_cache or term in self._shared_decoded:
+            docs, tfs = self.decoded(term)
+            a = int(np.searchsorted(docs, lo))
+            b = int(np.searchsorted(docs, hi))
+            return docs[a:b], tfs[a:b]
         bl = enc.block_last_doc
         nb = len(bl)
         bi = int(np.searchsorted(bl, lo))
@@ -606,9 +623,28 @@ def share_index(index_dir: str) -> "ray.ObjectRef":
                                               "*.parquet"))):
         bucket = int(os.path.basename(path).split("=")[1].split(".")[0])
         seg_refs[bucket] = _ray.put(pq.read_table(path))
+    # pre-decode the hottest posting lists ONCE: every scorer actor (and
+    # every serve call in this process) then reads the decoded arrays
+    # zero-copy from plasma instead of re-decoding O(df) varbytes.
+    # Relative threshold + posting budget — a Zipf head has MANY large
+    # terms at scale, and pre-decoding them all would blow plasma.
+    decoded_refs = {}
+    d = base.dictionary
+    if len(d) and base.N:
+        frac = np.asarray(d.df, dtype=np.float64) / base.N
+        order = np.argsort(-np.asarray(d.df))
+        budget = 16 * base.N                   # max pre-decoded postings
+        used = 0
+        for i in order:
+            if frac[i] < 0.10 or used + d.df[i] > budget:
+                break
+            t = d.terms[i]
+            decoded_refs[t] = _ray.put(base.decoded(t))
+            used += int(d.df[i])
     ref = _ray.put({"dictionary": _ray.put(base.dictionary),
                     "doc_lens": _ray.put(base.doc_lens),
-                    "segments": seg_refs})
+                    "segments": seg_refs,
+                    "decoded": decoded_refs})
     if len(cache) > 4:
         cache.clear()
     cache[index_dir] = ref
