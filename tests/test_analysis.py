@@ -50,6 +50,32 @@ def test_minhash_near_dup(ray_session, dup_corpus):
     assert all(a >= 40 and b >= 40 for a, b in got)
 
 
+def test_near_dup_no_driver_text_collection(ray_session, dup_corpus,
+                                            monkeypatch):
+    """Scale guard: near_dup_pairs must never collect document TEXTS to
+    the driver (the pair verification and member expansion are hash
+    joins in the object store).  Wraps Dataset.iter_batches and fails
+    if any driver-collected batch carries a text column."""
+    import ray.data
+    from web_search_engine_ray.pipelines.analysis import near_dup_pairs
+    tbl, path = dup_corpus
+    orig = ray.data.Dataset.iter_batches
+
+    def guarded(self, *args, **kwargs):
+        for b in orig(self, *args, **kwargs):
+            names = b.schema.names if isinstance(b, pa.Table) else \
+                list(getattr(b, "columns", []))
+            assert not any("text" in n for n in names), \
+                f"driver-side text collection: {names}"
+            yield b
+
+    monkeypatch.setattr(ray.data.Dataset, "iter_batches", guarded)
+    pairs = near_dup_pairs(ray.data.from_arrow(tbl), path,
+                           threshold=0.5).to_pandas()
+    got = set(zip(pairs["doc_id_a"], pairs["doc_id_b"]))
+    assert (40, 41) in got and (40, 42) in got
+
+
 def test_exact_jaccard_bounds():
     assert tp.exact_jaccard("a b c d e", "a b c d e") == 1.0
     assert tp.exact_jaccard("a b c d e", "x y z w v") == 0.0
@@ -120,7 +146,7 @@ def test_knn_bruteforce_vs_numpy(ray_session):
         assert res[res["query_id"] == qi]["rank"].tolist() == [1, 2, 3, 4, 5]
 
 
-def test_knn_ivf_recall(ray_session):
+def test_knn_ivf_recall_synthetic(ray_session):
     rng = np.random.default_rng(5)
     n, d = 400, 8
     centers = rng.normal(size=(8, d)) * 4
@@ -242,7 +268,12 @@ def test_group_topk(ray_session):
         "grp": pa.array(["a", "a", "a", "a", "b", "b", "c", "c", "c", "c"]),
         "score": pa.array([5, 9, 9, 1, 3, 3, 7, 7, 7, 2], pa.int64())})
     out = group_topk(ray.data.from_arrow(tbl), key="grp",
-                     order_col="score", k=2).to_pandas()
+                     order_col="score", k=2, id_col="doc_id").to_pandas()
+    # no tie-break column at all -> clear error, not StopIteration
+    two_col = pa.table({"grp": pa.array(["a"]), "score": pa.array([1])})
+    with pytest.raises(ValueError, match="tie-break"):
+        group_topk(ray.data.from_arrow(two_col), key="grp",
+                   order_col="score", k=1)
     # ties break by doc_id ascending
     got = list(zip(out["grp"], out["rank"], out["doc_id"]))
     assert got == [("a", 1, 1), ("a", 2, 2),

@@ -107,26 +107,11 @@ class MinHasher:
                   .astype(np.uint64))
         self.n_perm = n_perm
 
-    def signature(self, shingles: np.ndarray) -> np.ndarray:
-        """uint64[n_perm] minhash signature of a shingle-hash set."""
-        if len(shingles) == 0:
-            return np.full(self.n_perm, np.uint64(_MERSENNE), dtype=np.uint64)
-        # (n_perm, n_shingles) — modular arithmetic in uint64 via python-int
-        # free, wraparound-safe formulation: use object-free numpy in 128-bit
-        # chunks is overkill; p < 2^61 and a,x < 2^61 overflow uint64, so
-        # compute in two 32-bit halves.
-        x = shingles % np.uint64(_MERSENNE)
-        out = np.empty(self.n_perm, dtype=np.uint64)
-        for i in range(self.n_perm):
-            prod = (int(self.a[i]) * x.astype(object)) % _MERSENNE  # exact
-            vals = (prod + int(self.b[i])) % _MERSENNE
-            out[i] = np.uint64(min(vals))
-        return out
-
 
 class FastMinHasher(MinHasher):
-    """Vectorized variant: hashes with multiply-shift in native uint64
-    (wraparound multiply is a legitimate universal-ish hash family)."""
+    """Vectorized signatures: hashes with multiply-shift in native
+    uint64 (wraparound multiply is a legitimate universal-ish hash
+    family).  The base class only derives the pinned coefficients."""
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         if len(shingles) == 0:

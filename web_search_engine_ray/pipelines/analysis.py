@@ -101,22 +101,46 @@ def winnow_batch(batch: pa.Table, k: int = 3, w: int = 4) -> pa.Table:
     rows (oracle parity)."""
     import hashlib as _hl
 
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
     from web_search_engine_ray.spec import tokenize
-    ids_out, fp_out = [], []
-    for d, text in zip(batch.column("doc_id").to_pylist(),
-                       batch.column("text").to_pylist()):
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "fp_hash": pa.array([], pa.string())})
+    doc_ids = batch.column("doc_id").to_pylist()
+    sh_all: list[str] = []
+    runs: list[tuple[int, int]] = []          # (doc position, n_shingles)
+    for pos, text in enumerate(batch.column("text").to_pylist()):
         toks = tokenize(text)
         n_sh = len(toks) - k + 1
         if n_sh < w:
             continue
-        hs = [_hl.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
-              for i in range(n_sh)]
-        sel = {min(hs[i:i + w]) for i in range(n_sh - w + 1)}
-        for h in sorted(sel):
-            ids_out.append(d)
-            fp_out.append(h)
-    return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
-                     "fp_hash": pa.array(fp_out, pa.string())})
+        sh_all.extend(" ".join(toks[i:i + k]) for i in range(n_sh))
+        runs.append((pos, n_sh))
+    if not sh_all:
+        return empty
+    # one md5 per DISTINCT shingle in the batch (not per occurrence),
+    # then rank-encode: hexdigest lexicographic order == 128-bit numeric
+    # order, so window minima over int64 ranks are exact
+    codes, uniques = pd.factorize(np.asarray(sh_all, dtype=object))
+    digests = np.array([_hl.md5(u.encode()).hexdigest() for u in uniques],
+                       dtype=object)
+    order = np.argsort(digests)
+    rank_of = np.empty(len(order), np.int64)
+    rank_of[order] = np.arange(len(order), dtype=np.int64)
+    ranks = rank_of[codes]
+    hex_by_rank = digests[order]
+    ids_out, fp_out = [], []
+    off = 0
+    for pos, n_sh in runs:
+        sel = np.unique(
+            sliding_window_view(ranks[off:off + n_sh], w).min(axis=1))
+        off += n_sh
+        ids_out.append(np.full(len(sel), doc_ids[pos], np.int64))
+        fp_out.append(hex_by_rank[sel])
+    return pa.table({"doc_id": pa.array(np.concatenate(ids_out), pa.int64()),
+                     "fp_hash": pa.array(np.concatenate(fp_out),
+                                         pa.string())})
 
 
 # --- exact dedup (D1 generalized: by content) ----------------------------
@@ -201,7 +225,6 @@ class MinHashStage:
         return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import hashlib as _hl
         docs = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
         sh_list = [tp.shingle_hashes(t, self.k) for t in texts]
@@ -212,13 +235,21 @@ class MinHashStage:
         n = len(docs)
         band_ids = np.repeat(np.arange(self.n_bands, dtype=np.int32), n)
         doc_out = np.tile(docs, self.n_bands)
-        keys: list[str] = []
-        for b in range(self.n_bands):
-            seg = sigs[:, b * rows:(b + 1) * rows]
-            keys.extend(_hl.md5(seg[i].tobytes()).hexdigest() for i in range(n))
+        # fold each band's `rows` uint64 lanes into one int64 key with a
+        # vectorized FNV-1a-style xor-multiply — no per-row md5 hex
+        # strings; a (astronomically rare) fold collision only adds a
+        # candidate pair the exact-verify stage then rejects
+        seg = sigs.reshape(n, self.n_bands, rows) if n else \
+            np.empty((0, self.n_bands, rows), np.uint64)
+        key = np.full((n, self.n_bands), np.uint64(0xCBF29CE484222325),
+                      dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(rows):
+                key = (key ^ seg[:, :, r]) * np.uint64(0x100000001B3)
+        keys = key.T.reshape(-1).view(np.int64)     # band-major order
         return pa.table({"doc_id": pa.array(doc_out, pa.int64()),
                          "band_id": pa.array(band_ids, pa.int32()),
-                         "band_key": pa.array(keys, pa.string())})
+                         "band_key": pa.array(keys, pa.int64())})
 
 
 _MINHASH_WORKER_CACHE: dict = {}
@@ -256,7 +287,7 @@ def _bucket_pairs(batch: pa.Table) -> pa.Table:
         ("doc_id", "ascending")])
     t = batch.take(idx)
     bid = t.column("band_id").to_numpy()
-    bkey = np.asarray(t.column("band_key").to_pylist(), dtype=object)
+    bkey = t.column("band_key").to_numpy()
     docs = t.column("doc_id").to_numpy()
     starts, ends = _group_slices([bid, bkey])
     a_out, b_out = [], []
@@ -329,13 +360,16 @@ def _dup_groups_ds(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         zero_copy_batch=True).materialize()
 
 
-def _dup_groups(docs: "ray.data.Dataset") -> pa.Table:
-    batches = [b for b in _dup_groups_ds(docs)
-               .iter_batches(batch_format="pyarrow") if b.num_rows]
-    return pa.concat_tables(batches) if batches else pa.table(
-        {"doc_id": pa.array([], pa.int64()),
-         "members": pa.array([], pa.list_(pa.int64())),
-         "text": pa.array([], pa.string())})
+def _rename_batch(mapping: dict[str, str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.select(list(mapping)).rename_columns(
+            list(mapping.values()))
+    return fn
+
+
+def _join_partitions() -> int:
+    n = max(1, int(ray.cluster_resources().get("CPU", 4)))
+    return max(2, n // 8)
 
 
 def near_dup_pairs(docs: "ray.data.Dataset", docs_path: str,
@@ -344,65 +378,71 @@ def near_dup_pairs(docs: "ray.data.Dataset", docs_path: str,
     """ALL pairs (a < b) with exact string-shingle Jaccard >= threshold,
     found via exact-dup collapse + MinHash-LSH + exact verification.
 
-    Stages: (1) collapse exact duplicates (md5 groupby) to one
-    representative each; (2) LSH-band the representatives; (3) verify
-    candidate rep pairs with EXACT string-shingle Jaccard (the same set
-    the DuckDB oracle computes) inside map_batches with a broadcast
-    rep-text lookup; (4) expand verified rep pairs across their dup
-    groups and add within-group pairs (jaccard 1.0).
-
-    Driver-side state is bounded by #distinct-candidate-reps and
-    #dup-groups-with-copies — never by corpus size; at 100 TB both
-    lookups become hash joins on doc_id instead of broadcast dicts.
+    Stages — every one distributed, no corpus-growing driver state:
+    (1) collapse exact duplicates (md5 groupby) to one representative
+    each; (2) LSH-band the representatives and pair within buckets;
+    (3) fetch both candidate texts by HASH JOIN on rep doc_id and verify
+    with EXACT string-shingle Jaccard (the same set the DuckDB oracle
+    computes) inside map_batches; (4) expand verified rep pairs across
+    their dup groups via joins on the members table, and emit
+    within-group pairs (jaccard 1.0) straight off the groups Dataset.
+    Only OUTPUT-sized tables (pair ids + jaccard) and the final result
+    ever reach the driver — texts stay in the object store.
     """
-    groups_ds = _dup_groups_ds(docs)
-    # members/texts driver-side: one row per DISTINCT text (bounded by
-    # distinct-content count, not corpus size; at 100 TB this expansion
-    # becomes a join on rep doc_id)
-    groups = pa.concat_tables(
-        [b for b in groups_ds.iter_batches(batch_format="pyarrow")
-         if b.num_rows] or
-        [pa.table({"doc_id": pa.array([], pa.int64()),
-                   "members": pa.array([], pa.list_(pa.int64())),
-                   "text": pa.array([], pa.string())})])
-    rep_ids = groups.column("doc_id").to_pylist()
-    rep_members = groups.column("members").to_pylist()
-    rep_texts = groups.column("text").to_pylist()
-    members_of = dict(zip(rep_ids, rep_members))
     empty = pa.table({"doc_id_a": pa.array([], pa.int64()),
                       "doc_id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    if not rep_ids:
+    groups_ds = _dup_groups_ds(docs)
+    if groups_ds.count() == 0:
         return empty
-
+    npart = _join_partitions()
     reps_ds = groups_ds.select_columns(["doc_id", "text"])
-    cand_batches = [b for b in minhash_candidates(reps_ds)
-                    .iter_batches(batch_format="pyarrow") if b.num_rows]
-    verified: list[tuple[int, int, float]] = []
-    if cand_batches:
-        raw = pa.concat_tables(cand_batches)
-        # dedupe band collisions (<= n_bands copies per pair) — tiny set
-        pair_keys = np.unique(np.stack(
-            [raw.column("doc_id_a").to_numpy(),
-             raw.column("doc_id_b").to_numpy()], axis=1), axis=0)
-        cand = pa.table({"doc_id_a": pa.array(pair_keys[:, 0], pa.int64()),
-                         "doc_id_b": pa.array(pair_keys[:, 1], pa.int64())})
-        texts_ref = ray.put(dict(zip(rep_ids, rep_texts)))
+
+    # (2) candidates among representatives; dedupe the <= n_bands copies
+    # per pair with a hash partition on the pair key (complete groups
+    # per block) + per-block np.unique — no driver collection
+    def _dedupe_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        arr = np.stack([batch.column("doc_id_a").to_numpy(),
+                        batch.column("doc_id_b").to_numpy()], axis=1)
+        u = np.unique(arr, axis=0)
+        return pa.table({"doc_id_a": pa.array(u[:, 0], pa.int64()),
+                         "doc_id_b": pa.array(u[:, 1], pa.int64())})
+
+    cand = _hash_partition(minhash_candidates(reps_ds),
+                           ["doc_id_a", "doc_id_b"]).map_batches(
+        _dedupe_pairs, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    if cand.count() > 0:
+        # (3) texts arrive via two hash joins on the rep doc_id — the
+        # 100 TB-safe replacement for a driver-collected text dict
+        reps_a = reps_ds.map_batches(
+            _rename_batch({"doc_id": "doc_id_a", "text": "text_a"}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        reps_b = reps_ds.map_batches(
+            _rename_batch({"doc_id": "doc_id_b", "text": "text_b"}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        with_texts = cand.join(reps_a, "inner", num_partitions=npart,
+                               on=("doc_id_a",)) \
+            .join(reps_b, "inner", num_partitions=npart, on=("doc_id_b",))
 
         def verify(batch: pa.Table) -> pa.Table:
-            texts = ray.get(texts_ref)
             sh_cache: dict[int, set] = {}
 
-            def sh(d: int) -> set:
+            def sh(d: int, text: str) -> set:
                 s = sh_cache.get(d)
                 if s is None:
-                    s = sh_cache[d] = tp.string_shingle_set(texts[d], k)
+                    s = sh_cache[d] = tp.string_shingle_set(text, k)
                 return s
 
             a_out, b_out, j_out = [], [], []
-            for a, b in zip(batch.column("doc_id_a").to_pylist(),
-                            batch.column("doc_id_b").to_pylist()):
-                j = tp.string_jaccard(sh(a), sh(b))
+            for a, b, ta, tb in zip(batch.column("doc_id_a").to_pylist(),
+                                    batch.column("doc_id_b").to_pylist(),
+                                    batch.column("text_a").to_pylist(),
+                                    batch.column("text_b").to_pylist()):
+                j = tp.string_jaccard(sh(a, ta), sh(b, tb))
                 if j >= threshold:
                     a_out.append(a)
                     b_out.append(b)
@@ -411,42 +451,91 @@ def near_dup_pairs(docs: "ray.data.Dataset", docs_path: str,
                              "doc_id_b": pa.array(b_out, pa.int64()),
                              "jaccard": pa.array(j_out, pa.float64())})
 
-        vb = list(ray.data.from_arrow(cand)
-                  .map_batches(verify, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow"))
-        if vb:
-            vt = pa.concat_tables(vb)
-            verified = list(zip(vt.column("doc_id_a").to_pylist(),
-                                vt.column("doc_id_b").to_pylist(),
-                                vt.column("jaccard").to_pylist()))
+        verified_ds = with_texts.map_batches(
+            verify, batch_format="pyarrow").materialize()
+        if verified_ds.count() == 0:
+            # every candidate rejected by the exact verify — joining an
+            # empty left side would feed Acero a schema-less table
+            verified_ds = None
 
-    rows_a, rows_b, jac = [], [], []
-    # within-group pairs: identical texts => jaccard 1.0, but only when
-    # the text actually has shingles (docs with < k tokens emit no
+        # (4a) cross-group expansion: the membership table in EXPLODED
+        # relational form (rep, member) — list columns can't ride
+        # through an Acero join — then two joins produce every
+        # (member_a, member_b) combination of each verified rep pair
+        def _explode(rep_col: str, member_col: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                mem = batch.column("members")
+                if isinstance(mem, pa.ChunkedArray):
+                    mem = mem.combine_chunks()
+                counts = pc.list_value_length(mem).to_numpy()
+                reps = np.repeat(batch.column("doc_id").to_numpy(), counts)
+                return pa.table({rep_col: pa.array(reps, pa.int64()),
+                                 member_col: mem.flatten()})
+            return fn
+
+        if verified_ds is not None:
+            mem_a = groups_ds.map_batches(
+                _explode("doc_id_a", "member_a"), batch_format="pyarrow",
+                zero_copy_batch=True)
+            mem_b = groups_ds.map_batches(
+                _explode("doc_id_b", "member_b"), batch_format="pyarrow",
+                zero_copy_batch=True)
+            vm = verified_ds.join(mem_a, "inner", num_partitions=npart,
+                                  on=("doc_id_a",)) \
+                .join(mem_b, "inner", num_partitions=npart,
+                      on=("doc_id_b",))
+
+            def expand(batch: pa.Table) -> pa.Table:
+                a = batch.column("member_a").to_numpy()
+                b = batch.column("member_b").to_numpy()
+                return pa.table({
+                    "doc_id_a": pa.array(np.minimum(a, b), pa.int64()),
+                    "doc_id_b": pa.array(np.maximum(a, b), pa.int64()),
+                    "jaccard": batch.column("jaccard")})
+
+            cross_batches = [b for b in vm.map_batches(
+                expand, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow") if b.num_rows]
+            verified_tbl = pa.concat_tables(cross_batches) \
+                if cross_batches else None
+        else:
+            verified_tbl = None
+    else:
+        verified_tbl = None
+
+    # (4b) within-group pairs: identical texts => jaccard 1.0, but only
+    # when the text actually has shingles (docs with < k tokens emit no
     # shingle rows in the oracle and therefore no pairs)
-    for rep, members, text in zip(rep_ids, rep_members, rep_texts):
-        if len(members) > 1 and tp.string_shingle_set(text, k):
-            for i in range(len(members)):
-                for j_ in range(i + 1, len(members)):
-                    rows_a.append(members[i])
-                    rows_b.append(members[j_])
-                    jac.append(1.0)
-    # cross-group pairs: every member pair inherits the rep pair's jaccard
-    for ra, rb, j in verified:
-        for a in members_of[ra]:
-            for b in members_of[rb]:
-                lo, hi = (a, b) if a < b else (b, a)
-                rows_a.append(lo)
-                rows_b.append(hi)
-                jac.append(j)
-    if not rows_a:
+    def within(batch: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
+        for members, text in zip(batch.column("members").to_pylist(),
+                                 batch.column("text").to_pylist()):
+            if len(members) > 1 and tp.string_shingle_set(text, k):
+                m = np.sort(np.asarray(members, np.int64))
+                iu, ju = np.triu_indices(len(m), k=1)
+                a_out.append(m[iu])
+                b_out.append(m[ju])
+        if not a_out:
+            return pa.table({"doc_id_a": pa.array([], pa.int64()),
+                             "doc_id_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        a = np.concatenate(a_out)
+        return pa.table({"doc_id_a": pa.array(a, pa.int64()),
+                         "doc_id_b": pa.array(np.concatenate(b_out),
+                                              pa.int64()),
+                         "jaccard": pa.array(np.ones(len(a)), pa.float64())})
+
+    within_batches = [b for b in groups_ds.map_batches(
+        within, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow") if b.num_rows]
+    parts = ([verified_tbl] if verified_tbl is not None else []) \
+        + within_batches
+    if not parts:
         return empty
-    order = np.lexsort((rows_b, rows_a))
-    return pa.table({
-        "doc_id_a": pa.array(np.array(rows_a, dtype=np.int64)[order]),
-        "doc_id_b": pa.array(np.array(rows_b, dtype=np.int64)[order]),
-        "jaccard": pa.array(np.array(jac, dtype=np.float64)[order]),
-    })
+    out = pa.concat_tables(parts)
+    return out.sort_by([("doc_id_a", "ascending"),
+                        ("doc_id_b", "ascending")])
 
 
 # --- exact n-gram Jaccard (small-scale oracle-checkable variant) ---------

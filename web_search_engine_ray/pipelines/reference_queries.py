@@ -308,7 +308,8 @@ def quality_topk_per_lang(sf_dir: str) -> pa.Table:
 
     ds = _docs_ds(sf_dir, ["doc_id", "lang", "text"]).map_batches(
         with_lang, batch_format="pyarrow", zero_copy_batch=True)
-    return group_topk(ds, key="lang", order_col="n_tokens", k=3)
+    return group_topk(ds, key="lang", order_col="n_tokens", k=3,
+                      id_col="doc_id")
 
 
 def events_hourly(sf_dir: str) -> pa.Table:

@@ -22,17 +22,28 @@ from web_search_engine_ray.functions.grouping import (group_slices,
 
 
 def group_topk(ds: "ray.data.Dataset", key: str, order_col: str,
-               k: int, ascending: bool = False) -> pa.Table:
-    """Top-k rows per key group, ordered by (order_col desc|asc,
-    then remaining columns' first — deterministic via doc-order sort
-    keys supplied by the caller's table).  Ties broken by the first
-    int64 id-like column after the key for stability.
+               k: int, ascending: bool = False,
+               id_col: str | None = None) -> pa.Table:
+    """Top-k rows per key group, ordered by (order_col desc|asc).
+    Ties broken by ``id_col`` ascending; when not given, the first
+    column that is neither key nor order_col is used (and a ValueError
+    is raised if none exists — pass id_col explicitly for stability
+    across schema changes).
 
     One hash shuffle + one vectorized partition pass; per-group heap
     size k, never a global sort.
     """
     schema_names = [n for n in ds.schema().names]
-    id_col = next(n for n in schema_names if n not in (key, order_col))
+    if id_col is None:
+        id_col = next(
+            (n for n in schema_names if n not in (key, order_col)), None)
+        if id_col is None:
+            raise ValueError(
+                "group_topk needs a tie-break column: the input has no "
+                f"column besides key={key!r} and order_col={order_col!r}; "
+                "pass id_col= explicitly")
+    elif id_col not in schema_names:
+        raise ValueError(f"id_col {id_col!r} not in schema {schema_names}")
 
     def topk_partition(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

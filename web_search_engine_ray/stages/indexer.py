@@ -30,10 +30,18 @@ def conversation_offsets_from_parquet(path: str) -> tuple[dict[str, int], int]:
     tbl = pads.dataset(path, format="parquet").to_table(
         columns=["conv_id", "turn_idx"])
     g = pa.TableGroupBy(tbl, "conv_id").aggregate(
-        [("turn_idx", "count"), ("turn_idx", "min"), ("turn_idx", "max")])
+        [("turn_idx", "count"), ("turn_idx", "min"), ("turn_idx", "max"),
+         ("turn_idx", "count_distinct")])
+    n = g.column("turn_idx_count").to_numpy().astype(np.int64)
+    nd = g.column("turn_idx_count_distinct").to_numpy().astype(np.int64)
+    conv_ids = np.asarray(g.column("conv_id").to_pandas())
+    if (nd != n).any():
+        bad = conv_ids[nd != n][0]
+        raise ValueError(
+            f"duplicate turn_idx values for conv_id={bad!r}; "
+            "dedup/repair input before indexing (SURVEY.md D1)")
     return _offsets_from_conv(
-        np.asarray(g.column("conv_id").to_pandas()),
-        g.column("turn_idx_count").to_numpy().astype(np.int64),
+        conv_ids, n,
         g.column("turn_idx_min").to_numpy().astype(np.int64),
         g.column("turn_idx_max").to_numpy().astype(np.int64))
 
@@ -54,17 +62,48 @@ def _offsets_from_conv(conv_ids: np.ndarray, n_turns: np.ndarray,
 
 def _partial_conv_counts(batch: pa.Table) -> pa.Table:
     """Per-block combiner: shrinks the shuffle from one row per TURN to
-    one row per (block, conv) before the conv-level reduce."""
+    one row per (block, conv) before the conv-level reduce.
+
+    Besides count/min/max it carries a within-block distinct count and
+    the turn_idx sum / sum-of-squares, so the density validation also
+    catches duplicates that cancel a gap (e.g. [0,2,2]: min 0, max 2,
+    count 3 would otherwise pass — the sum check rejects 4 != 3, the
+    distinct check rejects same-block copies outright)."""
+    tix = batch.column("turn_idx").to_numpy().astype(np.int64)
     g = pd.DataFrame({
         "conv_id": batch.column("conv_id").to_pandas(),
-        "turn_idx": batch.column("turn_idx").to_numpy(),
-    }).groupby("conv_id", sort=False)["turn_idx"].agg(["count", "min", "max"])
+        "turn_idx": tix,
+        "tix2": tix * tix,
+    }).groupby("conv_id", sort=False).agg(
+        count=("turn_idx", "count"), mn=("turn_idx", "min"),
+        mx=("turn_idx", "max"), nd=("turn_idx", "nunique"),
+        s=("turn_idx", "sum"), s2=("tix2", "sum"))
     return pa.table({
         "conv_id": pa.array(g.index, pa.string()),
         "n": pa.array(g["count"].to_numpy(), pa.int64()),
-        "mn": pa.array(g["min"].to_numpy(), pa.int32()),
-        "mx": pa.array(g["max"].to_numpy(), pa.int32()),
+        "mn": pa.array(g["mn"].to_numpy().astype(np.int32), pa.int32()),
+        "mx": pa.array(g["mx"].to_numpy().astype(np.int32), pa.int32()),
+        "nd": pa.array(g["nd"].to_numpy(), pa.int64()),
+        "s": pa.array(g["s"].to_numpy(), pa.int64()),
+        "s2": pa.array(g["s2"].to_numpy(), pa.int64()),
     })
+
+
+def _check_dense(conv_ids, n, mn, mx, nd_sum, s, s2) -> None:
+    """Dense-0..n-1 validation: min/max/count plus (a) per-block distinct
+    == count (no same-block duplicates) and (b) sum + sum-of-squares
+    matching 0..n-1 exactly — together these reject every duplicate that
+    cancels a gap short of a crafted multi-block collision matching both
+    moments (practically unreachable; fully sound after dedup_turns)."""
+    exp_s = n * (n - 1) // 2
+    exp_s2 = (n - 1) * n * (2 * n - 1) // 6
+    bad = (mn != 0) | (mx != n - 1) | (nd_sum != n) | (s != exp_s) \
+        | (s2 != exp_s2)
+    if bad.any():
+        bad_id = list(conv_ids)[int(np.flatnonzero(bad)[0])]
+        raise ValueError(
+            f"turn_idx not dense 0..n-1 for conv_id={bad_id!r}; "
+            "dedup/repair input before indexing (SURVEY.md D1)")
 
 
 def conversation_offsets(ds: "ray.data.Dataset") -> tuple[dict[str, int], int]:
@@ -86,7 +125,13 @@ def conversation_offsets(ds: "ray.data.Dataset") -> tuple[dict[str, int], int]:
         return {}, 0
     allp = pa.concat_tables(partial_tbls).to_pandas()
     conv = allp.groupby("conv_id", sort=False).agg(
-        n=("n", "sum"), mx=("mx", "max"), mn=("mn", "min")).reset_index()
+        n=("n", "sum"), mx=("mx", "max"), mn=("mn", "min"),
+        nd=("nd", "sum"), s=("s", "sum"), s2=("s2", "sum")).reset_index()
+    _check_dense(conv["conv_id"].to_numpy(), conv["n"].to_numpy(),
+                 conv["mn"].to_numpy().astype(np.int64),
+                 conv["mx"].to_numpy().astype(np.int64),
+                 conv["nd"].to_numpy(), conv["s"].to_numpy(),
+                 conv["s2"].to_numpy())
     return _offsets_from_conv(conv["conv_id"].to_numpy(),
                               conv["n"].to_numpy(), conv["mn"].to_numpy(),
                               conv["mx"].to_numpy())
@@ -94,14 +139,12 @@ def conversation_offsets(ds: "ray.data.Dataset") -> tuple[dict[str, int], int]:
 
 def _validate_conv_agg(batch: pa.Table) -> pa.Table:
     n = batch.column("sum(n)").to_numpy().astype(np.int64)
-    mn = batch.column("min(mn)").to_numpy()
-    mx = batch.column("max(mx)").to_numpy()
-    bad = (mn != 0) | (mx != n - 1)
-    if bad.any():
-        bad_id = batch.column("conv_id").to_pylist()[int(np.flatnonzero(bad)[0])]
-        raise ValueError(
-            f"turn_idx not dense 0..n-1 for conv_id={bad_id!r}; "
-            "dedup/repair input before indexing (SURVEY.md D1)")
+    _check_dense(batch.column("conv_id").to_pylist(), n,
+                 batch.column("min(mn)").to_numpy().astype(np.int64),
+                 batch.column("max(mx)").to_numpy().astype(np.int64),
+                 batch.column("sum(nd)").to_numpy().astype(np.int64),
+                 batch.column("sum(s)").to_numpy().astype(np.int64),
+                 batch.column("sum(s2)").to_numpy().astype(np.int64))
     return pa.table({"conv_id": batch.column("conv_id"),
                      "n": pa.array(n, pa.int64())})
 
@@ -137,7 +180,8 @@ def conversation_offsets_ds(ds: "ray.data.Dataset") \
             .map_batches(_partial_conv_counts, batch_format="pyarrow",
                          zero_copy_batch=True)
             .groupby("conv_id")
-            .aggregate(Sum("n"), Min("mn"), Max("mx"))
+            .aggregate(Sum("n"), Min("mn"), Max("mx"), Sum("nd"),
+                       Sum("s"), Sum("s2"))
             .map_batches(_validate_conv_agg, batch_format="pyarrow",
                          zero_copy_batch=True))
     conv_sorted = conv.sort("conv_id").materialize()

@@ -636,8 +636,11 @@ def share_index(index_dir: str) -> "ray.ObjectRef":
         budget = 16 * base.N                   # max pre-decoded postings
         used = 0
         for i in order:
-            if frac[i] < 0.10 or used + d.df[i] > budget:
-                break
+            if frac[i] < 0.10:
+                break                  # df-sorted: no smaller term qualifies
+            if used + d.df[i] > budget:
+                continue               # skip the big one, keep filling
+
             t = d.terms[i]
             decoded_refs[t] = _ray.put(base.decoded(t))
             used += int(d.df[i])
