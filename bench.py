@@ -51,30 +51,48 @@ def ensure_corpus(n_convs: int = BENCH_CONVS) -> str:
     return path
 
 
-def build_and_query(corpus_path: str, out_dir: str) -> dict:
-    """The headline job: E1 build + E2 100-query WAND serve."""
+def build_and_query(corpus_path: str, out_dir: str,
+                    build_samples: int = 1) -> dict:
+    """The headline job: E1 build + E2 100-query WAND serve.
+
+    build_samples > 1 repeats the E1 build (cold output dir each time)
+    and reports the MEDIAN + all samples — this shared VM swings
+    identical-input build times 2-3x between windows, so a single shot
+    is noise, not a number (BASELINE.md protocol)."""
+    import statistics
+
     import numpy as np
 
     from web_search_engine_ray.pipelines.build import build_index
     from web_search_engine_ray.pipelines.query import run_queries
     from web_search_engine_ray.sources.transcripts import gen_queries
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    stats = build_index(corpus_path, out_dir)
-    build_sec = time.time() - t0
+    build_secs = []
+    for _ in range(max(1, build_samples)):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        stats = build_index(corpus_path, out_dir)
+        build_secs.append(time.time() - t0)
+    build_sec = statistics.median(build_secs)
     n_turns = stats["n_docs"]
 
-    from web_search_engine_ray.stages.scorer import IndexReader, wand_topk
-    reader = IndexReader(out_dir)
+    # Latency loop runs the per-query serve form: shared index (plasma,
+    # hot terms pre-decoded once at share time) + topk_auto, which fans
+    # heavy stopword-class queries out to doc-range shard tasks — the
+    # path that owns the p95 tail.  share_index is serve infrastructure
+    # (like opening the index), so it sits outside the timed region.
+    from web_search_engine_ray.stages.scorer import (IndexReader,
+                                                     share_index, topk_auto)
+    shared = share_index(out_dir)
+    reader = IndexReader(out_dir, shared=shared)
     q = gen_queries()
     lat, warm = [], []
     for query in q.column("query").to_pylist():
         t1 = time.time()
-        wand_topk(reader, query, 10)
+        topk_auto(reader, query, 10, index_dir=out_dir, shared=shared)
         lat.append(time.time() - t1)
     for query in q.column("query").to_pylist():   # caches warm
         t1 = time.time()
-        wand_topk(reader, query, 10)
+        topk_auto(reader, query, 10, index_dir=out_dir, shared=shared)
         warm.append(time.time() - t1)
     # actor-pool serve of the full set (the distributed path; auto mode
     # routes plan-heavy queries through doc-range sharding)
@@ -84,6 +102,7 @@ def build_and_query(corpus_path: str, out_dir: str) -> dict:
     return {
         "n_turns": n_turns,
         "build_sec": round(build_sec, 3),
+        "build_sec_samples": [round(s, 3) for s in build_secs],
         "turns_per_sec": round(n_turns / build_sec, 1),
         "query_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 3),
         "query_p95_ms": round(float(np.percentile(lat, 95)) * 1000, 3),
@@ -114,7 +133,9 @@ def main_bench() -> None:
     _init_ray(NUM_CPUS)
     corpus = ensure_corpus()
     t_total = time.time()
-    headline = build_and_query(corpus, "/tmp/wse_bench_idx")
+    headline = build_and_query(
+        corpus, "/tmp/wse_bench_idx",
+        build_samples=int(os.environ.get("WSE_BENCH_BUILD_SAMPLES", "3")))
     sf_times = sf_pipelines(SF_DIR)
     total = time.time() - t_total
     queries = {**sf_times,

@@ -153,3 +153,62 @@ def test_dictionary_lookup_parity(tiny_index):
         assert term in d
     assert d.get("zz-not-a-term") is None and "zz-not-a-term" not in d
     assert len(d) == tbl.num_rows
+
+
+def test_ondemand_broker_matches_eager(tiny_index):
+    """share_index(segments="ondemand") — the larger-than-RAM form —
+    serves rank-identical results to the eager whole-index share, and
+    the broker's plasma footprint is bounded by TOUCHED buckets."""
+    import ray
+    from web_search_engine_ray.sources.transcripts import gen_queries
+    from web_search_engine_ray.stages.scorer import (IndexReader,
+                                                     share_index, wand_topk)
+    out, _ = tiny_index
+    share_index.__dict__.get("_cache", {}).clear()
+    eager = share_index(out, segments="eager")
+    lazy = share_index(out, segments="ondemand")
+    r_e = IndexReader(out, shared=eager)
+    r_l = IndexReader(out, shared=lazy)
+    queries = gen_queries().column("query").to_pylist()[:20]
+    for q in queries:
+        de, se = wand_topk(r_e, q, 10)
+        dl, sl = wand_topk(r_l, q, 10)
+        assert de.tolist() == dl.tolist()
+        assert se.tolist() == sl.tolist()
+    broker = ray.get(lazy)["segments_broker"]
+    touched = ray.get(broker.touched.remote())
+    eager_buckets = ray.get(eager)["segments"]
+    # every touched bucket is a real bucket; a 20-query mix must not
+    # have forced the whole index into plasma
+    assert set(touched) <= set(eager_buckets)
+    assert len(touched) <= len(eager_buckets)
+    share_index.__dict__["_cache"].clear()
+
+
+def test_topk_auto_matches_wand(tiny_index, monkeypatch):
+    """topk_auto (per-query heavy fan-out over plasma-shared shards) is
+    rank-identical to single-process WAND for every query in the mix.
+    The heaviness threshold is lowered so stopword-class queries
+    actually shard on the tiny fixture index (the shard tasks
+    themselves are scale-independent exhaustive_range_topk)."""
+    from web_search_engine_ray.sources.transcripts import gen_queries
+    from web_search_engine_ray.stages import scorer as sc
+    from web_search_engine_ray.stages.scorer import (IndexReader,
+                                                     share_index, topk_auto,
+                                                     wand_topk)
+    monkeypatch.setattr(sc, "HEAVY_POSTINGS", 200)
+    monkeypatch.setattr(sc, "SHARD_POSTINGS", 100)
+    out, _ = tiny_index
+    shared = share_index(out)
+    reader = IndexReader(out, shared=shared)
+    sharded_any = 0
+    for q in gen_queries().column("query").to_pylist():
+        shards = sc.plan_query_shards(reader.dictionary,
+                                      len(reader.doc_lens), q, max_shards=4)
+        sharded_any += len(shards) > 1
+        d_a, s_a = topk_auto(reader, q, 10, index_dir=out, shared=shared,
+                             max_shards=4)
+        d_w, s_w = wand_topk(reader, q, 10)
+        assert d_a.tolist() == d_w.tolist()
+        assert s_a.tolist() == s_w.tolist()
+    assert sharded_any > 0, "query mix never exercised the sharded path"

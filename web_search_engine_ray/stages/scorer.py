@@ -107,13 +107,15 @@ class IndexReader:
         self.avgdl = float(self.stats["avgdl"])
         self.dl_min = float(self.stats["dl_min"])
         self._shared_decoded = {}
+        self._shared_broker = None
         if shared is not None:
             shared = _ray.get(shared) if isinstance(shared, _ray.ObjectRef) \
                 else shared
             self.dictionary = _ray.get(shared["dictionary"])
             self.doc_lens = _ray.get(shared["doc_lens"])
-            self._shared_segments = {b: ref for b, ref in
-                                     shared["segments"].items()}
+            self._shared_broker = shared.get("segments_broker")
+            segs = shared.get("segments")
+            self._shared_segments = dict(segs) if segs is not None else None
             # hot terms pre-decoded ONCE at share time; plasma zero-copy
             self._shared_decoded = dict(shared.get("decoded", {}))
         else:
@@ -144,7 +146,15 @@ class IndexReader:
     def _bucket_table(self, bucket: int) -> pa.Table:
         tbl = self._seg_cache.get(bucket)
         if tbl is None:
-            if self._shared_segments is not None:
+            if self._shared_broker is not None:
+                import ray as _ray
+                # on-demand cluster-wide share: the broker reads + puts
+                # each bucket ONCE on first touch (any actor), every
+                # later reader gets the memoized plasma ref — footprint
+                # bounded by TOUCHED buckets, not index size
+                ref = _ray.get(self._shared_broker.bucket_ref.remote(bucket))
+                tbl = _ray.get(ref)                            # zero-copy
+            elif self._shared_segments is not None:
                 import ray as _ray
                 tbl = _ray.get(self._shared_segments[bucket])  # zero-copy
             else:
@@ -606,23 +616,59 @@ def plan_query_shards(dictionary: dict, n_docs: int, query: str,
     return [(int(bounds[i]), int(bounds[i + 1])) for i in range(r)]
 
 
-def share_index(index_dir: str) -> "ray.ObjectRef":
+class _SegmentBrokerImpl:
+    """Cluster-wide on-demand segment share: reads + ``ray.put``s each
+    bucket file ONCE on first touch and memoizes the plasma ref.  Every
+    scorer actor asks the broker instead of re-reading from disk, so
+    per-index I/O is one read per touched bucket and plasma footprint is
+    bounded by TOUCHED buckets — the larger-than-RAM form share_index's
+    eager loop could not give (it pinned the whole index up front).
+    The actor holds only refs (the tables live in the object store)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self._refs: dict[int, "ray.ObjectRef"] = {}
+
+    def bucket_ref(self, bucket: int) -> "ray.ObjectRef":
+        import ray as _ray
+        ref = self._refs.get(bucket)
+        if ref is None:
+            path = os.path.join(self.index_dir, "segments",
+                                f"bucket={bucket}.parquet")
+            ref = self._refs[bucket] = _ray.put(pq.read_table(path))
+        return ref
+
+    def touched(self) -> list[int]:
+        return sorted(self._refs)
+
+
+def share_index(index_dir: str, segments: str = "ondemand") -> "ray.ObjectRef":
     """Load the index ONCE and put it in the object store: the returned
     ref (a dict of refs) feeds IndexReader(shared=...) in every scorer
     actor — zero-copy arrow/numpy views instead of per-actor disk reads.
-    Scale note: at 10^12 the segments would be shared per-bucket on
-    demand (plasma is still the right substrate); here the whole index
-    fits comfortably.  Memoized per process."""
+
+    segments="ondemand" (default): buckets are shared lazily through a
+    broker actor (read + put on first touch, memoized) — plasma holds
+    only the buckets queries actually hit, which is what a
+    larger-than-RAM index needs.  segments="eager": every bucket file is
+    put up front (lowest first-touch latency; only viable while the
+    whole index fits in plasma).  Memoized per process per mode."""
     import ray as _ray
     cache = share_index.__dict__.setdefault("_cache", {})
-    if index_dir in cache:
-        return cache[index_dir]
+    key = (index_dir, segments)
+    if key in cache:
+        return cache[key]
     base = IndexReader(index_dir)
-    seg_refs = {}
-    for path in sorted(glob.glob(os.path.join(index_dir, "segments",
-                                              "*.parquet"))):
-        bucket = int(os.path.basename(path).split("=")[1].split(".")[0])
-        seg_refs[bucket] = _ray.put(pq.read_table(path))
+    seg_refs = None
+    broker = None
+    if segments == "eager":
+        seg_refs = {}
+        for path in sorted(glob.glob(os.path.join(index_dir, "segments",
+                                                  "*.parquet"))):
+            bucket = int(os.path.basename(path).split("=")[1].split(".")[0])
+            seg_refs[bucket] = _ray.put(pq.read_table(path))
+    else:
+        broker = _ray.remote(num_cpus=0)(_SegmentBrokerImpl).remote(index_dir)
     # pre-decode the hottest posting lists ONCE: every scorer actor (and
     # every serve call in this process) then reads the decoded arrays
     # zero-copy from plasma instead of re-decoding O(df) varbytes.
@@ -644,14 +690,65 @@ def share_index(index_dir: str) -> "ray.ObjectRef":
             t = d.terms[i]
             decoded_refs[t] = _ray.put(base.decoded(t))
             used += int(d.df[i])
-    ref = _ray.put({"dictionary": _ray.put(base.dictionary),
-                    "doc_lens": _ray.put(base.doc_lens),
-                    "segments": seg_refs,
-                    "decoded": decoded_refs})
+    payload = {"dictionary": _ray.put(base.dictionary),
+               "doc_lens": _ray.put(base.doc_lens),
+               "decoded": decoded_refs}
+    if seg_refs is not None:
+        payload["segments"] = seg_refs
+    else:
+        payload["segments_broker"] = broker
+    ref = _ray.put(payload)
     if len(cache) > 4:
         cache.clear()
-    cache[index_dir] = ref
+    cache[key] = ref
     return ref
+
+
+_WORKER_READERS: dict = {}
+
+
+def _worker_reader(index_dir: str, shared) -> IndexReader:
+    """Per-worker-process IndexReader singleton over the shared index
+    (plasma views — construction is cheap, but the posting/decode caches
+    are worth keeping warm across tasks)."""
+    r = _WORKER_READERS.get(index_dir)
+    if r is None:
+        _WORKER_READERS.clear()
+        r = _WORKER_READERS[index_dir] = IndexReader(index_dir, shared=shared)
+    return r
+
+
+def _score_shard(index_dir: str, shared, query: str, k: int,
+                 lo: int, hi: int):
+    reader = _worker_reader(index_dir, shared)
+    return exhaustive_range_topk(reader, query, k, lo, hi)
+
+
+def topk_auto(reader: IndexReader, query: str, k: int, *,
+              index_dir: str, shared, max_shards: int | None = None):
+    """Single-query top-k with automatic heavy-query parallelism: light
+    queries run block-max WAND in-process; heavy (stopword-class)
+    queries fan their doc-range shards out as raw Ray tasks against the
+    plasma-shared index and merge the (exact) shard candidates — the
+    per-query latency form of run_queries(mode="auto"), closing the
+    p95 tail a single process cannot (one process must scan every
+    posting of a hot term; ten shards scan a tenth each)."""
+    import ray as _ray
+    if max_shards is None:
+        max_shards = max(1, int(_ray.cluster_resources().get("CPU", 4)) - 1)
+    shards = plan_query_shards(reader.dictionary, len(reader.doc_lens),
+                               query, max_shards)
+    if len(shards) <= 1:
+        return wand_topk(reader, query, k)
+    fn = topk_auto.__dict__.get("_task")
+    if fn is None:
+        fn = topk_auto.__dict__["_task"] = _ray.remote(num_cpus=1)(_score_shard)
+    parts = _ray.get([fn.remote(index_dir, shared, query, k, lo, hi)
+                      for lo, hi in shards])
+    # disjoint ascending ranges -> concatenation stays ascending-unique
+    docs = np.concatenate([d for d, _ in parts])
+    scores = np.concatenate([s for _, s in parts])
+    return _topk_from_arrays(docs, scores, k)
 
 
 class ShardScorer:
