@@ -19,7 +19,21 @@ import ray.data
 def hash_partition(ds: "ray.data.Dataset", keys: list[str],
                    num_partitions: int | None = None) -> "ray.data.Dataset":
     """Hash-partition by keys so a follow-up map_batches(batch_size=None)
-    sees complete key groups per block."""
+    sees complete key groups per block.
+
+    INVARIANT (correctness, not just perf): every consumer of this
+    helper (dedup first-rows, LSH bucket pairing, sessionize, window
+    ops) requires that all rows of a key land in ONE output block.  Ray
+    2.49's HASH_SHUFFLE emits exactly ``num_partitions`` blocks — one
+    per hash partition — and does NOT split an oversized partition at
+    ``target_max_block_size`` (verified empirically with a hot key 6x
+    over the target; pinned by tests/test_grouping_invariant.py so a
+    Ray upgrade that starts splitting fails loudly instead of silently
+    dropping pairs).  The flip side: a partition must fit in a worker's
+    heap — size ``num_partitions`` UP for skewed/huge inputs rather
+    than relying on block-size capping, and salt hot keys upstream when
+    one key alone outgrows a worker.
+    """
     from ray.data.context import ShuffleStrategy
     n = max(1, int(ray.cluster_resources().get("CPU", 4)))
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE

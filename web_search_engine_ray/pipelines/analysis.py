@@ -177,20 +177,46 @@ N_PERM = 128
 N_BANDS = 32        # 128/32 = 4 rows/band: P(miss | j=0.8) = (1-.8^4)^32 ≈ 5e-8
 SHINGLE_K = 3
 
+from web_search_engine_ray.functions.grouping import (  # noqa: E402
+    group_slices as _group_slices, hash_partition as _hash_partition)
+
+# bucket-row kinds flowing through the ONE near-dup shuffle
+_K_BAND = 0      # (band_id, band_key, fp, rep)   — LSH band row, one per
+#                  distinct-in-batch fingerprint per band
+_K_MEMBER = 1    # (0, band0_key, fp, member)     — membership row; rides
+#                  band 0's key space so a fingerprint's full membership
+#                  co-buckets with its band-0 rows
+
+# bucket-stage output kinds
+_K_CAND = 0      # candidate rep pair (needs exact verification)
+_K_WITHIN = 2    # within-exact-dup-group pair (jaccard 1.0 by identity)
+_K_MEMB_OUT = 3  # (global rep, member) row for cross-group expansion
+
 
 class MinHashStage:
-    """doc -> (band_id, band_key, doc_id) LSH rows, vectorized: one
-    (n_perm × shingles) broadcast multiply + segment-min per doc chunk
-    instead of a per-doc Python loop.  Run in task form with a
-    per-worker singleton (``minhash_band_batch``) — the autoscaling
-    actor pool ramps too slowly for a seconds-long stage.
+    """One fused map over raw (doc_id, text) batches: batch-local
+    exact-dup collapse (md5 fingerprint) + uint32 MinHash signatures +
+    LSH band keys.  Emits ONLY skinny id rows — document text never
+    enters the shuffle:
+
+    - _K_BAND rows: one per distinct-in-batch fingerprint per band,
+      carrying the batch-local representative (min doc_id).  Identical
+      texts share every band key, so all batch-reps of a fingerprint
+      co-bucket in every band and the bucket stage recovers the GLOBAL
+      rep as their min.
+    - _K_MEMBER rows: one per doc, keyed into band 0's bucket space, so
+      each fingerprint's full membership assembles in exactly one
+      bucket (within-group pairs + expansion rows are emitted there,
+      exactly once).
 
     Docs with NO shingles are skipped: they can never verify above any
     threshold (the oracle emits no shingle rows for them), and banding
     them would put every empty doc into one giant shared bucket.
-    """
 
-    _CHUNK_SHINGLES = 65536       # bounds the (n_perm × T) matrix ~64 MB
+    Scale note: batch-local collapse bounds a D-times-duplicated doc's
+    bucket rows by its batch count, not D; the shuffle payload is
+    ~n_bands * 40 B per distinct text regardless of text size.
+    """
 
     def __init__(self, n_perm: int = N_PERM, n_bands: int = N_BANDS,
                  k: int = SHINGLE_K):
@@ -199,30 +225,21 @@ class MinHashStage:
         self.n_bands = n_bands
         self.k = k
 
-    def _signatures(self, sh_list: list[np.ndarray]) -> np.ndarray:
-        """(n_docs, n_perm) signature matrix; empty docs all-FF."""
-        n = len(sh_list)
-        sigs = np.full((n, self.n_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
-                       dtype=np.uint64)
-        lens = np.fromiter((len(s) for s in sh_list), np.int64, n)
-        idx = np.flatnonzero(lens > 0)
-        a = self.hasher.a[:, None]
-        b = self.hasher.b[:, None]
-        pos = 0
-        while pos < len(idx):
-            take, tot = [], 0
-            while pos < len(idx) and (not take
-                                      or tot + lens[idx[pos]] <= self._CHUNK_SHINGLES):
-                take.append(idx[pos])
-                tot += lens[idx[pos]]
-                pos += 1
-            X = np.concatenate([sh_list[i] for i in take])
-            starts = np.concatenate(
-                ([0], np.cumsum(lens[take])[:-1])).astype(np.int64)
-            with np.errstate(over="ignore"):
-                M = a * X[None, :] + b                      # (P, T)
-            sigs[take] = np.minimum.reduceat(M, starts, axis=1).T
-        return sigs
+    def _band_keys(self, sigs: np.ndarray) -> np.ndarray:
+        """(n, n_bands) int64 keys: fold each band's uint32 lanes with a
+        vectorized FNV-1a-style xor-multiply — no per-row hashing; a
+        (astronomically rare) fold collision only adds a candidate pair
+        the exact-verify stage then rejects."""
+        n = len(sigs)
+        rows = self.n_perm // self.n_bands
+        seg = sigs.reshape(n, self.n_bands, rows).astype(np.uint64) if n \
+            else np.empty((0, self.n_bands, rows), np.uint64)
+        key = np.full((n, self.n_bands), np.uint64(0xCBF29CE484222325),
+                      dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(rows):
+                key = (key ^ seg[:, :, r]) * np.uint64(0x100000001B3)
+        return key.view(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         docs = batch.column("doc_id").to_numpy()
@@ -230,26 +247,43 @@ class MinHashStage:
         sh_list = [tp.shingle_hashes(t, self.k) for t in texts]
         keep = np.fromiter((len(s) > 0 for s in sh_list), bool, len(sh_list))
         docs = docs[keep]
-        sigs = self._signatures([s for s, m in zip(sh_list, keep) if m])
-        rows = self.n_perm // self.n_bands
+        texts = [t for t, m in zip(texts, keep) if m]
+        sh_list = [s for s, m in zip(sh_list, keep) if m]
         n = len(docs)
-        band_ids = np.repeat(np.arange(self.n_bands, dtype=np.int32), n)
-        doc_out = np.tile(docs, self.n_bands)
-        # fold each band's `rows` uint64 lanes into one int64 key with a
-        # vectorized FNV-1a-style xor-multiply — no per-row md5 hex
-        # strings; a (astronomically rare) fold collision only adds a
-        # candidate pair the exact-verify stage then rejects
-        seg = sigs.reshape(n, self.n_bands, rows) if n else \
-            np.empty((0, self.n_bands, rows), np.uint64)
-        key = np.full((n, self.n_bands), np.uint64(0xCBF29CE484222325),
-                      dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for r in range(rows):
-                key = (key ^ seg[:, :, r]) * np.uint64(0x100000001B3)
-        keys = key.T.reshape(-1).view(np.int64)     # band-major order
-        return pa.table({"doc_id": pa.array(doc_out, pa.int64()),
-                         "band_id": pa.array(band_ids, pa.int32()),
-                         "band_key": pa.array(keys, pa.int64())})
+        if n == 0:
+            return pa.table({"band_id": pa.array([], pa.int32()),
+                             "band_key": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.string()),
+                             "kind": pa.array([], pa.int8()),
+                             "doc_id": pa.array([], pa.int64())})
+        # batch-local exact-dup collapse on the md5 fingerprint
+        fps = np.asarray([tp.text_md5(t) for t in texts], dtype=object)
+        order = np.lexsort((docs, fps))
+        fps_s, docs_s = fps[order], docs[order]
+        starts, ends = _group_slices([fps_s])
+        rep_pos = order[starts]                  # min doc_id per fp run
+        sigs = self.hasher.signatures([sh_list[i] for i in rep_pos])
+        keys = self._band_keys(sigs)             # (n_fp, n_bands)
+        n_fp = len(rep_pos)
+        # _K_BAND rows, band-major
+        band_ids = np.repeat(np.arange(self.n_bands, dtype=np.int32), n_fp)
+        band_keys = keys.T.reshape(-1)
+        band_fps = np.tile(fps[rep_pos], self.n_bands)
+        band_docs = np.tile(docs[rep_pos], self.n_bands)
+        # _K_MEMBER rows: every doc, in its fp's band-0 bucket
+        fp_of_doc = np.empty(n, np.int64)        # doc (sorted) -> fp run
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            fp_of_doc[s:e] = i
+        mem_keys = keys[fp_of_doc, 0]
+        return pa.table({
+            "band_id": pa.array(np.r_[band_ids,
+                                      np.zeros(n, np.int32)], pa.int32()),
+            "band_key": pa.array(np.r_[band_keys, mem_keys], pa.int64()),
+            "fp": pa.array(np.r_[band_fps, fps_s], pa.string()),
+            "kind": pa.array(np.r_[np.full(len(band_ids), _K_BAND, np.int8),
+                                   np.full(n, _K_MEMBER, np.int8)],
+                             pa.int8()),
+            "doc_id": pa.array(np.r_[band_docs, docs_s], pa.int64())})
 
 
 _MINHASH_WORKER_CACHE: dict = {}
@@ -267,97 +301,77 @@ def minhash_band_batch(batch: pa.Table, *, n_perm: int = N_PERM,
     return inst(batch)
 
 
-from web_search_engine_ray.functions.grouping import (  # noqa: E402
-    group_slices as _group_slices, hash_partition as _hash_partition)
+def _bucket_resolve(batch: pa.Table) -> pa.Table:
+    """Per complete (band_id, band_key) LSH bucket in this
+    hash-partitioned block — NO silent cap:
 
+    - collapse _K_BAND rows by fingerprint (min doc_id across batches =
+      GLOBAL rep, since every batch-rep of a fingerprint co-buckets)
+      and emit all rep pairs as _K_CAND;
+    - in band-0 buckets, assemble each fingerprint's membership from
+      its _K_MEMBER rows; multi-member groups emit their within-group
+      pairs (_K_WITHIN, jaccard 1.0 by text identity) and (rep, member)
+      expansion rows (_K_MEMB_OUT) — exactly once corpus-wide.
 
-def _bucket_pairs(batch: pa.Table) -> pa.Table:
-    """All candidate pairs within each complete LSH bucket in this
-    hash-partitioned block — NO silent cap (exact duplicates are
-    collapsed to one representative BEFORE the LSH pass, so bucket size
-    is bounded by true near-dup cluster size, not duplication factor).
-    Vectorized: sort once, slice buckets, np.triu_indices per bucket."""
+    Vectorized: one sort, run detection via group_slices, triu_indices
+    per bucket."""
     import pyarrow.compute as pc
-    empty = pa.table({"doc_id_a": pa.array([], pa.int64()),
-                      "doc_id_b": pa.array([], pa.int64())})
+    empty = pa.table({"kind": pa.array([], pa.int8()),
+                      "id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
     if batch.num_rows == 0:
         return empty
     idx = pc.sort_indices(batch, sort_keys=[
         ("band_id", "ascending"), ("band_key", "ascending"),
-        ("doc_id", "ascending")])
+        ("fp", "ascending"), ("doc_id", "ascending")])
     t = batch.take(idx)
     bid = t.column("band_id").to_numpy()
     bkey = t.column("band_key").to_numpy()
-    docs = t.column("doc_id").to_numpy()
-    starts, ends = _group_slices([bid, bkey])
-    a_out, b_out = [], []
-    for s, e in zip(starts, ends):
-        if e - s >= 2:
-            ids = docs[s:e]
-            iu, ju = np.triu_indices(len(ids), k=1)
-            a_out.append(ids[iu])
-            b_out.append(ids[ju])
-    if not a_out:
-        return empty
-    return pa.table({"doc_id_a": pa.array(np.concatenate(a_out), pa.int64()),
-                     "doc_id_b": pa.array(np.concatenate(b_out), pa.int64())})
-
-
-def minhash_candidates(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """doc -> minhash signature -> LSH banding -> candidate pairs.
-    Pairs may repeat across bands (up to n_bands copies); callers dedupe
-    the (small) candidate set — cheaper than a distinct shuffle here."""
-    bands = docs.select_columns(["doc_id", "text"]).map_batches(
-        minhash_band_batch, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=1024)
-    return _hash_partition(bands, ["band_id", "band_key"]).map_batches(
-        _bucket_pairs, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True)
-
-
-def _collapse_fp_partition(batch: pa.Table) -> pa.Table:
-    """Complete md5-fingerprint groups -> one row per distinct text:
-    (rep = min doc_id, members sorted, text).  Vectorized via sorted
-    run boundaries + ListArray.from_arrays."""
-    if batch.num_rows == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "members": pa.array([], pa.list_(pa.int64())),
-                         "text": pa.array([], pa.string())})
-    import pyarrow.compute as pc
-    idx = pc.sort_indices(batch, sort_keys=[("fp", "ascending"),
-                                            ("doc_id", "ascending")])
-    t = batch.take(idx)
     fp = np.asarray(t.column("fp").to_pylist(), dtype=object)
+    kind = t.column("kind").to_numpy()
     docs = t.column("doc_id").to_numpy()
-    starts, _ends = _group_slices([fp])
-    offsets = np.r_[starts, len(docs)].astype(np.int64)
-    members = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                       pa.array(docs, pa.int64()))
-    return pa.table({"doc_id": pa.array(docs[starts], pa.int64()),
-                     "members": members,
-                     "text": t.column("text").take(
-                         pa.array(starts, pa.int64()))})
 
-
-def _dup_groups_ds(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Exact-duplicate groups as a MATERIALIZED Dataset: one row per
-    distinct text — (rep = min doc_id, members sorted, text).  Hash-
-    partitioned on the md5 digest; each partition holds complete
-    fingerprint groups.  Materialized so the banding pass (texts, stays
-    distributed) and the member expansion (ids only, tiny) consume the
-    same blocks without re-execution."""
-
-    def _h(batch: pa.Table) -> pa.Table:
-        fps = [tp.text_md5(t) for t in batch.column("text").to_pylist()]
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "text": batch.column("text"),
-                         "fp": pa.array(fps, pa.string())})
-
-    hashed = docs.select_columns(["doc_id", "text"]).map_batches(
-        _h, batch_format="pyarrow", zero_copy_batch=True)
-    return _hash_partition(hashed, ["fp"]).map_batches(
-        _collapse_fp_partition, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True).materialize()
+    k_out, a_out, b_out = [], [], []
+    # fp-level runs (a fingerprint's rows stay contiguous inside its
+    # bucket thanks to the sort)
+    fs, fe = _group_slices([bid, bkey, fp])
+    # per-fp: global rep = min doc over _K_BAND rows; members from
+    # _K_MEMBER rows (band 0 only)
+    n_fp = len(fs)
+    rep = np.empty(n_fp, np.int64)
+    for i, (s, e) in enumerate(zip(fs, fe)):
+        kk = kind[s:e]
+        dd = docs[s:e]
+        band_docs = dd[kk == _K_BAND]
+        members = dd[kk == _K_MEMBER]
+        if len(members):                     # band-0 bucket for this fp
+            members = np.unique(members)
+            rep[i] = members[0]
+            if len(members) > 1:
+                iu, ju = np.triu_indices(len(members), k=1)
+                k_out.append(np.full(len(iu), _K_WITHIN, np.int8))
+                a_out.append(members[iu])
+                b_out.append(members[ju])
+                k_out.append(np.full(len(members), _K_MEMB_OUT, np.int8))
+                a_out.append(np.full(len(members), members[0], np.int64))
+                b_out.append(members)
+        else:
+            rep[i] = band_docs.min() if len(band_docs) else dd.min()
+    # bucket-level: pair the distinct-fp reps within each bucket
+    bs, be = _group_slices([bid[fs], bkey[fs]])
+    for s, e in zip(bs, be):
+        if e - s >= 2:
+            ids = np.unique(rep[s:e])
+            if len(ids) >= 2:
+                iu, ju = np.triu_indices(len(ids), k=1)
+                k_out.append(np.full(len(iu), _K_CAND, np.int8))
+                a_out.append(ids[iu])
+                b_out.append(ids[ju])
+    if not k_out:
+        return empty
+    return pa.table({"kind": pa.array(np.concatenate(k_out), pa.int8()),
+                     "id_a": pa.array(np.concatenate(a_out), pa.int64()),
+                     "id_b": pa.array(np.concatenate(b_out), pa.int64())})
 
 
 def _rename_batch(mapping: dict[str, str]):
@@ -372,63 +386,103 @@ def _join_partitions() -> int:
     return max(2, n // 8)
 
 
+@ray.remote
+def _concat_sorted_by_doc(*blocks: pa.Table) -> pa.Table:
+    """Fuse the (already candidate-filtered, output-sized) text blocks
+    into ONE doc_id-sorted plasma table — built inside a task so text
+    bytes never transit the driver; verify workers read it zero-copy."""
+    t = pa.concat_tables(blocks)
+    return t.sort_by([("doc_id", "ascending")]) if t.num_rows else t
+
+
+# candidate text sides at or under this ride to the verify stage as one
+# plasma table (broadcast join — ray.put once, zero-copy per worker);
+# larger sides fall back to distributed hash joins on doc_id
+BROADCAST_TEXT_BYTES = 128 * 1024 * 1024
+
+_VERIFY_TEXT_CACHE: dict = {}
+
+
 def near_dup_pairs(docs: "ray.data.Dataset", docs_path: str,
                    threshold: float = 0.8,
                    k: int = SHINGLE_K) -> pa.Table:
     """ALL pairs (a < b) with exact string-shingle Jaccard >= threshold,
-    found via exact-dup collapse + MinHash-LSH + exact verification.
+    found via one fused exact-dup-collapse + MinHash-LSH shuffle and
+    exact verification.
 
-    Stages — every one distributed, no corpus-growing driver state:
-    (1) collapse exact duplicates (md5 groupby) to one representative
-    each; (2) LSH-band the representatives and pair within buckets;
-    (3) fetch both candidate texts by HASH JOIN on rep doc_id and verify
-    with EXACT string-shingle Jaccard (the same set the DuckDB oracle
-    computes) inside map_batches; (4) expand verified rep pairs across
-    their dup groups via joins on the members table, and emit
-    within-group pairs (jaccard 1.0) straight off the groups Dataset.
-    Only OUTPUT-sized tables (pair ids + jaccard) and the final result
-    ever reach the driver — texts stay in the object store.
+    Stages: (1) ONE map over raw docs emits skinny LSH band rows with
+    batch-local exact-dup collapse plus membership rows riding band 0
+    (MinHashStage — corpus text never enters the exchange); (2) ONE
+    hash shuffle co-buckets them; per-bucket resolution emits candidate
+    rep pairs, within-exact-dup-group pairs (jaccard 1.0 by identity)
+    and (rep, member) expansion rows — ALL output-sized id tables the
+    driver collects directly; (3) candidate texts come from a semi-join
+    of the source docs against the candidate id set (broadcast ids —
+    output-sized): small text sides (<= BROADCAST_TEXT_BYTES) broadcast
+    as ONE plasma table assembled inside a task (zero-copy per worker,
+    no driver transit), larger sides take two distributed hash joins on
+    doc_id; exact string-shingle Jaccard (the set the DuckDB oracle
+    computes) verifies each candidate; (4) verified rep pairs expand
+    across their dup groups driver-side over the ids-only expansion
+    rows.  The driver only ever holds id pairs and the final result —
+    document text stays in the object store on every path.
     """
     empty = pa.table({"doc_id_a": pa.array([], pa.int64()),
                       "doc_id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    groups_ds = _dup_groups_ds(docs)
-    if groups_ds.count() == 0:
+    docs = docs.select_columns(["doc_id", "text"])
+    rows = _hash_partition(
+        docs.map_batches(minhash_band_batch, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=1024,
+                         fn_kwargs={"k": k}),
+        ["band_id", "band_key"]).map_batches(
+        _bucket_resolve, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+    parts = [b for b in rows.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    if not parts:
         return empty
-    npart = _join_partitions()
-    reps_ds = groups_ds.select_columns(["doc_id", "text"])
+    resolved = pa.concat_tables(parts)
+    kind = resolved.column("kind").to_numpy()
+    id_a = resolved.column("id_a").to_numpy()
+    id_b = resolved.column("id_b").to_numpy()
 
-    # (2) candidates among representatives; dedupe the <= n_bands copies
-    # per pair with a hash partition on the pair key (complete groups
-    # per block) + per-block np.unique — no driver collection
-    def _dedupe_pairs(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        arr = np.stack([batch.column("doc_id_a").to_numpy(),
-                        batch.column("doc_id_b").to_numpy()], axis=1)
-        u = np.unique(arr, axis=0)
-        return pa.table({"doc_id_a": pa.array(u[:, 0], pa.int64()),
-                         "doc_id_b": pa.array(u[:, 1], pa.int64())})
+    # candidate rep pairs, deduped across their <= n_bands copies
+    m = kind == _K_CAND
+    cand = np.unique(np.stack([id_a[m], id_b[m]], axis=1), axis=0) \
+        if m.any() else np.empty((0, 2), np.int64)
 
-    cand = _hash_partition(minhash_candidates(reps_ds),
-                           ["doc_id_a", "doc_id_b"]).map_batches(
-        _dedupe_pairs, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True).materialize()
+    # expansion rows -> member lists (exactly once corpus-wide)
+    members: dict[int, np.ndarray] = {}
+    m3 = kind == _K_MEMB_OUT
+    if m3.any():
+        ra, rb = id_a[m3], id_b[m3]
+        order = np.argsort(ra, kind="stable")
+        ra, rb = ra[order], rb[order]
+        s3, e3 = _group_slices([ra])
+        for s, e in zip(s3, e3):
+            members[int(ra[s])] = rb[s:e]
 
-    if cand.count() > 0:
-        # (3) texts arrive via two hash joins on the rep doc_id — the
-        # 100 TB-safe replacement for a driver-collected text dict
-        reps_a = reps_ds.map_batches(
-            _rename_batch({"doc_id": "doc_id_a", "text": "text_a"}),
-            batch_format="pyarrow", zero_copy_batch=True)
-        reps_b = reps_ds.map_batches(
-            _rename_batch({"doc_id": "doc_id_b", "text": "text_b"}),
-            batch_format="pyarrow", zero_copy_batch=True)
-        with_texts = cand.join(reps_a, "inner", num_partitions=npart,
-                               on=("doc_id_a",)) \
-            .join(reps_b, "inner", num_partitions=npart, on=("doc_id_b",))
+    verified_tbl = None
+    if len(cand):
+        # (3) semi-join: only candidate docs' texts leave the source
+        # (broadcast id set — output-sized, ids only)
+        cand_ids = np.unique(cand)
+        ids_ref = ray.put(cand_ids)
+
+        def _filter_cand(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            keep = np.isin(batch.column("doc_id").to_numpy(), wanted)
+            return batch.filter(pa.array(keep))
+
+        cand_texts = docs.map_batches(
+            _filter_cand, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+        pairs_tbl = pa.table({"doc_id_a": pa.array(cand[:, 0], pa.int64()),
+                              "doc_id_b": pa.array(cand[:, 1], pa.int64())})
 
         def verify(batch: pa.Table) -> pa.Table:
+            col = batch.column
             sh_cache: dict[int, set] = {}
 
             def sh(d: int, text: str) -> set:
@@ -438,10 +492,10 @@ def near_dup_pairs(docs: "ray.data.Dataset", docs_path: str,
                 return s
 
             a_out, b_out, j_out = [], [], []
-            for a, b, ta, tb in zip(batch.column("doc_id_a").to_pylist(),
-                                    batch.column("doc_id_b").to_pylist(),
-                                    batch.column("text_a").to_pylist(),
-                                    batch.column("text_b").to_pylist()):
+            for a, b, ta, tb in zip(col("doc_id_a").to_pylist(),
+                                    col("doc_id_b").to_pylist(),
+                                    col("text_a").to_pylist(),
+                                    col("text_b").to_pylist()):
                 j = tp.string_jaccard(sh(a, ta), sh(b, tb))
                 if j >= threshold:
                     a_out.append(a)
@@ -451,92 +505,94 @@ def near_dup_pairs(docs: "ray.data.Dataset", docs_path: str,
                              "doc_id_b": pa.array(b_out, pa.int64()),
                              "jaccard": pa.array(j_out, pa.float64())})
 
-        verified_ds = with_texts.map_batches(
-            verify, batch_format="pyarrow").materialize()
-        if verified_ds.count() == 0:
-            # every candidate rejected by the exact verify — joining an
-            # empty left side would feed Acero a schema-less table
-            verified_ds = None
+        if cand_texts.size_bytes() <= BROADCAST_TEXT_BYTES:
+            # broadcast-join form: candidate texts as one plasma table
+            texts_ref = _concat_sorted_by_doc.remote(
+                *cand_texts.to_arrow_refs())
 
-        # (4a) cross-group expansion: the membership table in EXPLODED
-        # relational form (rep, member) — list columns can't ride
-        # through an Acero join — then two joins produce every
-        # (member_a, member_b) combination of each verified rep pair
-        def _explode(rep_col: str, member_col: str):
-            def fn(batch: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-                mem = batch.column("members")
-                if isinstance(mem, pa.ChunkedArray):
-                    mem = mem.combine_chunks()
-                counts = pc.list_value_length(mem).to_numpy()
-                reps = np.repeat(batch.column("doc_id").to_numpy(), counts)
-                return pa.table({rep_col: pa.array(reps, pa.int64()),
-                                 member_col: mem.flatten()})
-            return fn
+            def attach_and_verify(batch: pa.Table) -> pa.Table:
+                ck = texts_ref.hex()
+                entry = _VERIFY_TEXT_CACHE.get(ck)
+                if entry is None:
+                    _VERIFY_TEXT_CACHE.clear()
+                    t = ray.get(texts_ref)              # zero-copy table
+                    entry = _VERIFY_TEXT_CACHE[ck] = (
+                        t.column("doc_id").to_numpy(),
+                        t.column("text").to_pylist())
+                ids, texts = entry
+                a = batch.column("doc_id_a").to_numpy()
+                b = batch.column("doc_id_b").to_numpy()
+                ia = np.searchsorted(ids, a)
+                ib = np.searchsorted(ids, b)
+                return verify(pa.table({
+                    "doc_id_a": batch.column("doc_id_a"),
+                    "doc_id_b": batch.column("doc_id_b"),
+                    "text_a": pa.array([texts[i] for i in ia]),
+                    "text_b": pa.array([texts[i] for i in ib])}))
 
-        if verified_ds is not None:
-            mem_a = groups_ds.map_batches(
-                _explode("doc_id_a", "member_a"), batch_format="pyarrow",
+            pairs_ds = ray.data.from_arrow(pairs_tbl)
+            n_cpu = max(1, int(ray.cluster_resources().get("CPU", 4)))
+            nb = max(1, min(n_cpu, (pairs_tbl.num_rows + 255) // 256))
+            if nb > 1:
+                pairs_ds = pairs_ds.repartition(num_blocks=nb)
+            verified_ds = pairs_ds.map_batches(
+                attach_and_verify, batch_format="pyarrow",
                 zero_copy_batch=True)
-            mem_b = groups_ds.map_batches(
-                _explode("doc_id_b", "member_b"), batch_format="pyarrow",
-                zero_copy_batch=True)
-            vm = verified_ds.join(mem_a, "inner", num_partitions=npart,
-                                  on=("doc_id_a",)) \
-                .join(mem_b, "inner", num_partitions=npart,
-                      on=("doc_id_b",))
-
-            def expand(batch: pa.Table) -> pa.Table:
-                a = batch.column("member_a").to_numpy()
-                b = batch.column("member_b").to_numpy()
-                return pa.table({
-                    "doc_id_a": pa.array(np.minimum(a, b), pa.int64()),
-                    "doc_id_b": pa.array(np.maximum(a, b), pa.int64()),
-                    "jaccard": batch.column("jaccard")})
-
-            cross_batches = [b for b in vm.map_batches(
-                expand, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow") if b.num_rows]
-            verified_tbl = pa.concat_tables(cross_batches) \
-                if cross_batches else None
         else:
-            verified_tbl = None
-    else:
-        verified_tbl = None
+            # distributed fallback: two hash joins on the (already
+            # candidate-filtered) text table
+            npart = _join_partitions()
+            reps_a = cand_texts.map_batches(
+                _rename_batch({"doc_id": "doc_id_a", "text": "text_a"}),
+                batch_format="pyarrow", zero_copy_batch=True)
+            reps_b = cand_texts.map_batches(
+                _rename_batch({"doc_id": "doc_id_b", "text": "text_b"}),
+                batch_format="pyarrow", zero_copy_batch=True)
+            verified_ds = ray.data.from_arrow(pairs_tbl) \
+                .join(reps_a, "inner", num_partitions=npart,
+                      on=("doc_id_a",)) \
+                .join(reps_b, "inner", num_partitions=npart,
+                      on=("doc_id_b",)) \
+                .map_batches(verify, batch_format="pyarrow")
 
-    # (4b) within-group pairs: identical texts => jaccard 1.0, but only
-    # when the text actually has shingles (docs with < k tokens emit no
-    # shingle rows in the oracle and therefore no pairs)
-    def within(batch: pa.Table) -> pa.Table:
-        a_out, b_out = [], []
-        for members, text in zip(batch.column("members").to_pylist(),
-                                 batch.column("text").to_pylist()):
-            if len(members) > 1 and tp.string_shingle_set(text, k):
-                m = np.sort(np.asarray(members, np.int64))
-                iu, ju = np.triu_indices(len(m), k=1)
-                a_out.append(m[iu])
-                b_out.append(m[ju])
-        if not a_out:
-            return pa.table({"doc_id_a": pa.array([], pa.int64()),
-                             "doc_id_b": pa.array([], pa.int64()),
-                             "jaccard": pa.array([], pa.float64())})
-        a = np.concatenate(a_out)
-        return pa.table({"doc_id_a": pa.array(a, pa.int64()),
-                         "doc_id_b": pa.array(np.concatenate(b_out),
-                                              pa.int64()),
-                         "jaccard": pa.array(np.ones(len(a)), pa.float64())})
+        v_parts = [b for b in verified_ds.iter_batches(
+            batch_format="pyarrow") if b.num_rows]
 
-    within_batches = [b for b in groups_ds.map_batches(
-        within, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow") if b.num_rows]
-    parts = ([verified_tbl] if verified_tbl is not None else []) \
-        + within_batches
+        # (4) cross-group expansion, driver-side over ids only (member
+        # lists are output-sized: each expands into output pairs)
+        if v_parts:
+            vt = pa.concat_tables(v_parts)
+            va = vt.column("doc_id_a").to_numpy()
+            vb = vt.column("doc_id_b").to_numpy()
+            vj = vt.column("jaccard").to_numpy()
+            a_out, b_out, j_out = [], [], []
+            for ra, rb, j in zip(va, vb, vj):
+                ma = members.get(int(ra), np.array([ra], np.int64))
+                mb = members.get(int(rb), np.array([rb], np.int64))
+                ga = np.repeat(ma, len(mb))
+                gb = np.tile(mb, len(ma))
+                a_out.append(np.minimum(ga, gb))
+                b_out.append(np.maximum(ga, gb))
+                j_out.append(np.full(len(ga), j))
+            verified_tbl = pa.table({
+                "doc_id_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_id_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "jaccard": pa.array(np.concatenate(j_out), pa.float64())})
+
+    # within-exact-dup-group pairs (jaccard 1.0 by text identity)
+    m2 = kind == _K_WITHIN
+    within_tbl = pa.table({
+        "doc_id_a": pa.array(id_a[m2], pa.int64()),
+        "doc_id_b": pa.array(id_b[m2], pa.int64()),
+        "jaccard": pa.array(np.ones(int(m2.sum())), pa.float64())}) \
+        if m2.any() else None
+
+    parts = [t for t in (verified_tbl, within_tbl) if t is not None]
     if not parts:
         return empty
     out = pa.concat_tables(parts)
     return out.sort_by([("doc_id_a", "ascending"),
                         ("doc_id_b", "ascending")])
-
 
 # --- exact n-gram Jaccard (small-scale oracle-checkable variant) ---------
 
