@@ -72,6 +72,48 @@ def bm25_topk(sf_dir: str) -> pa.Table:
                           pa.array(np.round(res.column("score").to_numpy(), 6)))
 
 
+def merge_bm25(sf_dir: str) -> pa.Table:
+    """Incremental indexing (pipelines/merge.py) under the exact BM25
+    oracle: split `documents` at the median doc_id, build BASE and
+    DELTA indexes independently (delta with local ids 0..n-1), fold the
+    delta into the base with ``merge_indexes``, and serve the pinned
+    query set over the MERGED index.  `documents.doc_id` is dense
+    0..N-1, so the merge's append remapping (offset = base.max_doc_id+1
+    = split point) reproduces the full build's docIDs exactly — the
+    result must be byte-identical to ``bm25_topk`` and shares its SQL
+    oracle, giving the merge path an end-to-end value-hash check."""
+    from web_search_engine_ray.pipelines.merge import merge_indexes
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"/tmp/wse_merge_{key}"
+    merged = os.path.join(root, "merged")
+    if not os.path.exists(os.path.join(merged, "stats.json")):
+        docs = _docs_ds(sf_dir, ["doc_id", "text"])
+        split = (int(pq.read_metadata(_documents_path(sf_dir)).num_rows)) // 2
+
+        def _shift(batch: pa.Table, *, off: int) -> pa.Table:
+            ids = pa.array(batch.column("doc_id").to_numpy() - off,
+                           pa.int64())
+            return batch.set_column(
+                batch.schema.get_field_index("doc_id"), "doc_id", ids)
+
+        base_ds = docs.filter(expr=f"doc_id < {split}")
+        delta_ds = docs.filter(expr=f"doc_id >= {split}").map_batches(
+            _shift, batch_format="pyarrow", fn_kwargs=dict(off=split))
+        build_index(base_ds, os.path.join(root, "base"), _DOC_CFG,
+                    input_kind="corpus", resume=True)
+        build_index(delta_ds, os.path.join(root, "delta"), _DOC_CFG,
+                    input_kind="corpus", resume=True)
+        merge_indexes(os.path.join(root, "base"),
+                      os.path.join(root, "delta"), merged)
+    queries = pa.table({
+        "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int64()),
+        "query": pa.array([q[1] for q in BM25_QUERIES], pa.string())})
+    res = run_queries(merged, queries, k=BM25_K, mode="wand")
+    return res.set_column(res.schema.get_field_index("score"), "score",
+                          pa.array(np.round(res.column("score").to_numpy(), 6)))
+
+
 def doc_lengths(sf_dir: str) -> pa.Table:
     from web_search_engine_ray.pipelines.analysis import doc_tokens_batch
     ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
@@ -578,6 +620,9 @@ _STOPLIST_SQL = "','".join(sorted(STOPWORDS))
 
 ORACLE_SQL: dict[str, str] = {
     "bm25_topk": _bm25_sql(),
+    # merge_bm25 reproduces bm25_topk's docIDs exactly (append remap at
+    # the dense split point) — same oracle, checked independently
+    "merge_bm25": _bm25_sql(),
     "doc_lengths": (
         "SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
         "::BIGINT AS n_tokens FROM documents ORDER BY doc_id"),
@@ -717,6 +762,7 @@ FROM per_sess GROUP BY user_id ORDER BY user_id""",
 
 QUERIES = {
     "bm25_topk": bm25_topk,
+    "merge_bm25": merge_bm25,
     "doc_lengths": doc_lengths,
     "corpus_stats": corpus_stats,
     "term_df": term_df,
