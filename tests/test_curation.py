@@ -1,0 +1,162 @@
+"""Edge-case tests for pipelines/curation.py (decontamination,
+train/val split, repetition signals, phrase search).  The end-to-end
+driver contract (engine vs DuckDB oracle) is covered by
+test_oracle_contract; these pin semantics the oracle can't isolate:
+adjacency vs conjunction, short-doc gram handling, split determinism
+under repartitioning."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from web_search_engine_ray.spec import EngineConfig
+from web_search_engine_ray.pipelines import curation
+from web_search_engine_ray.pipelines.build import build_index
+
+
+def _docs_ds(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+
+# --- decontaminate ---------------------------------------------------------
+
+
+def test_decontaminate_counts_distinct_shared_grams(ray_session):
+    # bench doc carries two distinct 4-grams: "a b c d", "b c d e"
+    bench = _docs_ds(["a b c d e"], ids=[100])
+    corpus = _docs_ds([
+        "x a b c d e y",     # shares both grams -> n_shared_grams = 2
+        "z z a b c d",       # shares one gram
+        "a b c x d e",       # 4-grams exist but none shared
+        "a b c",             # shorter than k: no grams at all
+    ])
+    out = curation.decontaminate(corpus, bench, k=4)
+    assert out.column("doc_id").to_pylist() == [0, 1]
+    assert out.column("n_shared_grams").to_pylist() == [2, 1]
+
+
+def test_decontaminate_repeated_gram_counted_once(ray_session):
+    bench = _docs_ds(["a b c d"], ids=[9])
+    corpus = _docs_ds(["a b c d q a b c d"])  # gram occurs twice, distinct=1
+    out = curation.decontaminate(corpus, bench, k=4)
+    assert out.column("n_shared_grams").to_pylist() == [1]
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    bench = _docs_ds([], ids=[])
+    corpus = _docs_ds(["a b c d e"])
+    out = curation.decontaminate(corpus, bench, k=4)
+    assert out.num_rows == 0
+
+
+# --- train/val split -------------------------------------------------------
+
+
+def test_split_partition_independent_and_deterministic(ray_session):
+    ids = list(range(1000))
+    one = curation.train_val_split(
+        ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())})))
+    many = curation.train_val_split(
+        ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+        .repartition(7))
+    a = pa.concat_tables(one.iter_batches(batch_format="pyarrow")).sort_by(
+        "doc_id")
+    b = pa.concat_tables(many.iter_batches(batch_format="pyarrow")).sort_by(
+        "doc_id")
+    assert a.equals(b)
+    frac = a.column("split").to_pylist().count("val") / len(ids)
+    assert 0.05 < frac < 0.16          # md5 is uniform; 10% +- slack
+
+
+def test_split_stable_under_corpus_growth(ray_session):
+    small = curation.train_val_split(_docs_ds(["x"] * 100))
+    big = curation.train_val_split(_docs_ds(["x"] * 300))
+    sm = pa.concat_tables(small.iter_batches(batch_format="pyarrow")).sort_by(
+        "doc_id")
+    bg = pa.concat_tables(big.iter_batches(batch_format="pyarrow")).sort_by(
+        "doc_id")
+    assert bg.slice(0, 100).equals(sm)  # existing docs never flip
+
+
+# --- repetition stats ------------------------------------------------------
+
+
+def test_repetition_hand_computed(ray_session):
+    batch = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                      "text": pa.array(["a a b", "unique words here", ""])})
+    out = curation.repetition_batch(batch)
+    # doc 0: tokens [a,a,b] -> dup occurrences 2/3; 2-grams [a a, a b]
+    #   -> top 1/2, dup 0/2
+    assert out.column("n_tokens").to_pylist() == [3, 3, 0]
+    assert out.column("dup_token_frac").to_pylist() == [
+        round(2 / 3, 6), 0.0, 0.0]
+    assert out.column("top_2gram_frac").to_pylist() == [0.5, 0.5, 0.0]
+    assert out.column("dup_2gram_frac").to_pylist() == [0.0, 0.0, 0.0]
+
+
+def test_repetition_fully_repeated_doc(ray_session):
+    batch = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array(["spam spam spam spam"])})
+    out = curation.repetition_batch(batch)
+    assert out.column("dup_token_frac").to_pylist() == [1.0]
+    assert out.column("top_2gram_frac").to_pylist() == [1.0]
+    assert out.column("dup_2gram_frac").to_pylist() == [1.0]
+
+
+# --- phrase search ---------------------------------------------------------
+
+
+def _phrase_fixture(tmp_path, texts):
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "idx")
+    build_index(src, out, EngineConfig(hot_sample_docs=1000),
+                input_kind="corpus")
+    return out, ray.data.read_parquet(src)
+
+
+def test_phrase_adjacency_not_just_conjunction(ray_session, tmp_path):
+    idx, docs = _phrase_fixture(tmp_path, [
+        "the hash join operator",      # adjacent -> match
+        "hash equi join plan",         # both terms, not adjacent -> no match
+        "HASH  JOIN, uppercase",       # case + punctuation separator -> match
+        "join hash reversed order",    # wrong order -> no match
+        "hash join",                   # exact doc == phrase -> match
+    ])
+    out = curation.phrase_search(idx, docs, [(0, "hash join")])
+    assert out.column("doc_id").to_pylist() == [0, 2, 4]
+    assert out.column("phrase_id").to_pylist() == [0, 0, 0]
+
+
+def test_phrase_absent_term_short_circuits(ray_session, tmp_path):
+    idx, docs = _phrase_fixture(tmp_path, ["alpha beta gamma"])
+    out = curation.phrase_search(idx, docs, [(7, "alpha zzzznothere")])
+    assert out.num_rows == 0
+    assert out.schema.names == ["phrase_id", "doc_id"]
+
+
+def test_phrase_multiple_phrases_sorted(ray_session, tmp_path):
+    idx, docs = _phrase_fixture(tmp_path, [
+        "merge sort beats bubble sort", "a merge sort b", "hash join c"])
+    out = curation.phrase_search(
+        idx, docs, [(1, "merge sort"), (0, "hash join")])
+    assert out.column("phrase_id").to_pylist() == [0, 1, 1]
+    assert out.column("doc_id").to_pylist() == [2, 0, 1]
+
+
+def test_phrase_regex_boundaries():
+    rx = curation.phrase_regex("cat dog")
+    import re
+    assert re.search(rx, "cat dog")                  # whole text
+    assert re.search(rx, "a cat dog b")
+    assert re.search(rx, "cat--dog")                 # any non-alnum gap
+    assert not re.search(rx, "scat dog")             # left boundary
+    assert not re.search(rx, "cat dogs")             # right boundary
+    assert not re.search(rx, "cat x dog")            # not adjacent

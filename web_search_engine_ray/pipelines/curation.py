@@ -1,0 +1,309 @@
+"""Training-data curation pipelines: benchmark decontamination,
+deterministic train/val splits, Gopher-style repetition signals, and
+exact phrase search over the inverted index.
+
+All four are streaming Ray Data compositions over the generic documents
+corpus (doc_id:int64, text:string, ...):
+
+- ``decontaminate``  — n-gram-overlap contamination check of a corpus
+  against a benchmark/eval set (the GPT-3/PaLM "13-gram" style filter,
+  parameterised k).  The benchmark side is the SMALL side by definition
+  (an eval set is thousands of docs, the corpus is billions), so its
+  distinct gram hashes are broadcast once via ``ray.put`` and the corpus
+  streams through one vectorized ``map_batches`` — no corpus shuffle.
+- ``train_val_split`` — salt-free deterministic hash split on doc_id
+  (md5 hex prefix threshold), reproducible across runs / partitionings.
+- ``repetition_stats`` — per-doc duplicate-token / duplicate-2-gram /
+  top-2-gram fractions (the Gopher repetition quality gates).
+- ``phrase_search``  — exact token-adjacency phrase match: candidate
+  docs from a conjunctive posting-list intersection on the index
+  (lossless pruning: a phrase match implies every term matches), then
+  distributed regex verification over a candidate-filtered read of the
+  corpus — only candidate texts leave storage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+# --- decontamination ------------------------------------------------------
+
+DECONTAM_K = 4  # pinned n-gram width for the driver query (docs are short)
+
+
+def _gram_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT k-gram hashes over the pinned tokenizer.
+
+    Returns (hashes:uint64, doc_run_lengths:int64) — grams are md5-64bit
+    hashed so the broadcast benchmark set is 8 bytes/gram regardless of
+    gram text length (collision odds at 1e9 grams: ~n^2/2^65 ≈ 0.03
+    expected pairs — negligible vs an exact-string join).  md5 runs once
+    per DISTINCT gram in the batch (factorize + per-doc np.unique over
+    integer codes), not per occurrence — the winnow_batch kernel shape."""
+    import pandas as pd
+
+    from web_search_engine_ray.spec import tokenize
+    grams_all: list[str] = []
+    runs = np.zeros(len(texts), np.int64)      # grams per doc, with dups
+    for i, text in enumerate(texts):
+        toks = tokenize(text)
+        n = len(toks) - k + 1
+        if n <= 0:
+            continue
+        grams_all.extend(" ".join(toks[j:j + k]) for j in range(n))
+        runs[i] = n
+    lens = np.zeros(len(texts), np.int64)
+    if not grams_all:
+        return np.empty(0, np.uint64), lens
+    codes, uniques = pd.factorize(np.asarray(grams_all, dtype=object))
+    dig = np.fromiter(
+        (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "little")
+         for u in uniques), np.uint64, len(uniques))
+    out: list[np.ndarray] = []
+    off = 0
+    for i, n in enumerate(runs):
+        if n == 0:
+            continue
+        u = np.unique(codes[off:off + n])
+        off += n
+        out.append(dig[u])
+        lens[i] = len(u)
+    return np.concatenate(out), lens
+
+
+def benchmark_grams(bench: "ray.data.Dataset", k: int = DECONTAM_K
+                    ) -> np.ndarray:
+    """Distinct k-gram hashes of the benchmark set (the broadcast side).
+
+    Scale note: this is bounded by the BENCHMARK's size (eval sets are
+    ~10^3..10^6 docs), never the corpus — the one driver-side structure
+    here is benchmark-sized by construction."""
+    def _g(batch: pa.Table) -> pa.Table:
+        h, _ = _gram_hashes(batch.column("text").to_pylist(), k)
+        return pa.table({"gram_h": pa.array(np.unique(h), pa.uint64())})
+
+    parts = bench.select_columns(["text"]).map_batches(
+        _g, batch_format="pyarrow", zero_copy_batch=True)
+    # driver-side union of per-batch DISTINCT hash arrays (benchmark-
+    # sized); Dataset.unique is avoided because Ray's aggregate path
+    # round-trips uint64 through Python ints and overflows int64.
+    chunks = [b.column("gram_h").to_numpy()
+              for b in parts.iter_batches(batch_format="pyarrow")]
+    if not chunks:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(chunks))
+
+
+def decontaminate(corpus: "ray.data.Dataset", bench: "ray.data.Dataset",
+                  k: int = DECONTAM_K) -> pa.Table:
+    """Corpus docs sharing >= 1 distinct k-gram with the benchmark set.
+
+    Returns (doc_id, n_shared_grams) sorted by doc_id — n_shared_grams
+    counts the doc's DISTINCT contaminated grams (the usual removal /
+    reporting signal).  One benchmark pass + one corpus ``map_batches``
+    against the ``ray.put``-broadcast gram-hash set; the corpus is never
+    shuffled and never leaves streaming execution."""
+    bench_ref = ray.put(benchmark_grams(bench, k))
+
+    def _check(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)           # zero-copy plasma view
+        h, lens = _gram_hashes(batch.column("text").to_pylist(), k)
+        hits = np.zeros(len(lens), np.int64)
+        if len(h):
+            # one vectorized membership probe over the whole batch
+            member = np.isin(h, bset, assume_unique=False)
+            ends = np.cumsum(lens)
+            hits = np.add.reduceat(
+                np.concatenate([member.astype(np.int64), [0]]),
+                np.concatenate([[0], ends[:-1]]))
+            hits[lens == 0] = 0
+        keep = hits > 0
+        ids = batch.column("doc_id").to_numpy()[keep]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_shared_grams": pa.array(hits[keep], pa.int64())})
+
+    parts = corpus.select_columns(["doc_id", "text"]).map_batches(
+        _check, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables(
+        [b for b in parts.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_shared_grams": pa.array([], pa.int64())})])
+    return tbl.sort_by("doc_id")
+
+
+# --- deterministic train/val split ---------------------------------------
+
+
+def split_threshold_hex(val_frac: float) -> str:
+    """Pinned split rule: doc goes to 'val' iff the first 4 hex chars of
+    md5(str(doc_id)) sort strictly below this threshold.  Fixed-width
+    lowercase hex compares lexicographically == numerically, so the same
+    rule is one ``substr(md5(...),1,4) < '{hex}'`` in the DuckDB oracle."""
+    return format(min(0xFFFF, int(val_frac * 0x10000)), "04x")
+
+
+def train_val_split(docs: "ray.data.Dataset", val_frac: float = 0.1
+                    ) -> "ray.data.Dataset":
+    """(doc_id, split) with split in {'train','val'} — a pure function of
+    doc_id: stable under re-runs, repartitioning, and corpus growth
+    (existing docs never flip when new docs arrive).  No shuffle."""
+    thr = split_threshold_hex(val_frac)
+
+    def _split(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        splits = ["val" if hashlib.md5(str(i).encode()).hexdigest()[:4] < thr
+                  else "train" for i in ids]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "split": pa.array(splits, pa.string())})
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        _split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- repetition / quality signals (Gopher-style) --------------------------
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition fractions over the pinned tokenizer:
+
+    - dup_token_frac: fraction of token OCCURRENCES whose token appears
+      more than once in the doc
+    - top_2gram_frac: occurrences of the most frequent 2-gram / total
+      2-gram occurrences
+    - dup_2gram_frac: fraction of 2-gram occurrences whose gram repeats
+
+    Zeros when the doc has no tokens / no 2-grams.  One np.unique per
+    doc (token counts) — numpy kernels, no Python counting loops."""
+    from web_search_engine_ray.spec import tokenize
+    n_tok = []
+    dup_tok = []
+    top_2g = []
+    dup_2g = []
+    for text in batch.column("text").to_pylist():
+        toks = tokenize(text)
+        n = len(toks)
+        n_tok.append(n)
+        if n == 0:
+            dup_tok.append(0.0)
+            top_2g.append(0.0)
+            dup_2g.append(0.0)
+            continue
+        arr = np.asarray(toks, dtype=object)
+        _, inv, cnt = np.unique(arr, return_inverse=True, return_counts=True)
+        dup_tok.append(float(np.sum(cnt[cnt > 1])) / n)
+        if n < 2:
+            top_2g.append(0.0)
+            dup_2g.append(0.0)
+            continue
+        # 2-grams as pairs of token codes — integer pairing, no strings
+        pair = inv[:-1].astype(np.int64) * len(cnt) + inv[1:]
+        pcnt = np.unique(pair, return_counts=True)[1]
+        tot = float(n - 1)
+        top_2g.append(float(pcnt.max()) / tot)
+        dup_2g.append(float(np.sum(pcnt[pcnt > 1])) / tot)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        "dup_token_frac": pa.array(np.round(dup_tok, 6), pa.float64()),
+        "top_2gram_frac": pa.array(np.round(top_2g, 6), pa.float64()),
+        "dup_2gram_frac": pa.array(np.round(dup_2g, 6), pa.float64()),
+    })
+
+
+def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Gopher-style repetition quality signals, one streaming map."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- exact phrase search ---------------------------------------------------
+
+
+def phrase_regex(phrase: str) -> str:
+    """Token-adjacency as a regex over lower(text): terms separated by
+    >= 1 non-[a-z0-9] char, anchored at token boundaries on both ends.
+    Identical semantics in Python re and DuckDB RE2 for this construct —
+    the engine verifier and the SQL oracle share it by construction."""
+    from web_search_engine_ray.spec import tokenize
+    terms = tokenize(phrase)
+    return ("(^|[^a-z0-9])" + "[^a-z0-9]+".join(terms) + "([^a-z0-9]|$)")
+
+
+def phrase_search(index_dir: str, docs: "ray.data.Dataset",
+                  phrases: list[tuple[int, str]]) -> pa.Table:
+    """Exact phrase match: (phrase_id, doc_id) for every doc whose token
+    stream contains the phrase's tokens consecutively.
+
+    Stage 1 (index): conjunctive intersection of the phrase terms'
+    posting lists — lossless pruning (adjacency implies conjunction).
+    Stage 2 (verify): ONE candidate-filtered streaming pass over the
+    corpus; each batch checks only the phrases whose candidate set hits
+    it, with regexes compiled once per task.  Driver state = candidate
+    doc_id arrays (skinny, output-bounded); texts never leave workers.
+
+    Scale note: a positional postings stream would replace stage 2's
+    text fetch with position-list adjacency checks; candidate-filtered
+    verification is the standard non-positional fallback and touches
+    only |candidates| docs."""
+    from web_search_engine_ray.stages.scorer import IndexReader
+    from web_search_engine_ray.spec import tokenize
+    reader = IndexReader(index_dir)
+    cand: dict[int, np.ndarray] = {}
+    for pid, phrase in phrases:
+        ids = None
+        for term in sorted(set(tokenize(phrase))):
+            dec = reader.decoded(term)
+            if dec is None:
+                ids = np.empty(0, np.int64)
+                break
+            ids = dec[0] if ids is None else np.intersect1d(
+                ids, dec[0], assume_unique=True)
+            if len(ids) == 0:
+                break
+        if ids is not None and len(ids):
+            cand[pid] = ids.astype(np.int64)
+    empty = pa.table({"phrase_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64())})
+    if not cand:
+        return empty
+    pat_by_pid = {pid: phrase_regex(ph) for pid, ph in phrases}
+    cand_ref = ray.put(cand)
+    all_ids = np.unique(np.concatenate(list(cand.values())))
+    ids_ref = ray.put(all_ids)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        import re
+        keep = np.isin(batch.column("doc_id").to_numpy(), ray.get(ids_ref))
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return empty
+        cands = ray.get(cand_ref)
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_pid, out_doc = [], []
+        for pid, pat in pat_by_pid.items():
+            c = cands.get(pid)
+            if c is None:
+                continue
+            hit_rows = np.flatnonzero(np.isin(ids, c, assume_unique=False))
+            if len(hit_rows) == 0:
+                continue
+            rx = re.compile(pat)
+            for r in hit_rows:
+                if rx.search(texts[r].lower()):
+                    out_pid.append(pid)
+                    out_doc.append(int(ids[r]))
+        return pa.table({"phrase_id": pa.array(out_pid, pa.int64()),
+                         "doc_id": pa.array(out_doc, pa.int64())})
+
+    parts = docs.select_columns(["doc_id", "text"]).map_batches(
+        _verify, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables(
+        [b for b in parts.iter_batches(batch_format="pyarrow")] or [empty])
+    return tbl.sort_by([("phrase_id", "ascending"), ("doc_id", "ascending")])

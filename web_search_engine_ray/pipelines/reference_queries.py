@@ -432,10 +432,130 @@ def _collect(ds: "ray.data.Dataset") -> pa.Table:
     return pa.concat_tables(batches) if batches else pa.table({})
 
 
+# --- curation ops (pipelines/curation.py) --------------------------------
+
+# The driver testdata has no separate benchmark table; one source stripe
+# of `documents` plays the eval set (benchmark = small side, as in a
+# real decontamination run where eval suites are ~10^3..10^6 docs).
+DECONTAM_BENCH_SOURCE = "src0"
+
+# Pinned phrase set: frequent bigrams, two selective trigrams, one
+# absent phrase (exercises the empty-candidate path).
+PHRASES: list[tuple[int, str]] = [
+    (0, "hash join"), (1, "slow query"), (2, "merge sort"),
+    (3, "key value"), (4, "window agg stream"), (5, "data table scan"),
+    (6, "unseenterm spark"),
+]
+
+
+def decontam(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines import curation
+    ds = _docs_ds(sf_dir, ["doc_id", "text", "source"])
+    bench = ds.filter(expr=f"source == '{DECONTAM_BENCH_SOURCE}'")
+    corpus = ds.filter(expr=f"source != '{DECONTAM_BENCH_SOURCE}'")
+    return curation.decontaminate(corpus, bench, k=curation.DECONTAM_K)
+
+
+def split_docs(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.curation import train_val_split
+    ds = train_val_split(_docs_ds(sf_dir, ["doc_id"]), val_frac=0.1)
+    return _collect(ds).sort_by([("doc_id", "ascending")])
+
+
+def repetition(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.curation import repetition_stats
+    ds = repetition_stats(_docs_ds(sf_dir, ["doc_id", "text"]))
+    return _collect(ds).sort_by([("doc_id", "ascending")])
+
+
+def phrase_match(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.curation import phrase_search
+    idx = index_for(sf_dir)
+    return phrase_search(idx, _docs_ds(sf_dir, ["doc_id", "text"]), PHRASES)
+
+
 # --- DuckDB oracle SQL ---------------------------------------------------
 
 _TOKS = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
          "'[a-z0-9]+')) AS term FROM documents")
+
+# tokens with per-doc positions (for n-gram oracles)
+_TOKS_POS = (
+    "SELECT doc_id, source, "
+    "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term, "
+    "generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) "
+    "AS pos FROM documents")
+
+
+def _gram_expr(k: int) -> str:
+    parts = ["term"] + [
+        f"lead(term,{i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+        for i in range(1, k)]
+    return " || ' ' || ".join(parts)
+
+
+def _phrase_sql() -> str:
+    from web_search_engine_ray.pipelines.curation import phrase_regex
+    parts = [
+        f"SELECT CAST({pid} AS BIGINT) AS phrase_id, doc_id FROM documents "
+        f"WHERE regexp_matches(lower(text), '{phrase_regex(ph)}')"
+        for pid, ph in PHRASES]
+    return ("SELECT phrase_id, doc_id FROM (" + " UNION ALL ".join(parts)
+            + ") ORDER BY phrase_id, doc_id")
+
+
+def _decontam_sql(k: int) -> str:
+    """Exact-string recomputation of curation.decontaminate: distinct
+    k-grams per doc; corpus docs (source != bench stripe) sharing >= 1
+    gram with the benchmark stripe, counting the doc's DISTINCT shared
+    grams.  The engine compares md5-64bit gram hashes; at sf scales the
+    collision odds (~n^2/2^65) are below one expected pair, so the
+    string join is the exact oracle."""
+    return f"""
+WITH toks AS ({_TOKS_POS}),
+g AS (SELECT doc_id, source, {_gram_expr(k)} AS gram FROM toks),
+gg AS (SELECT DISTINCT doc_id, source, gram FROM g WHERE gram IS NOT NULL),
+bench AS (SELECT DISTINCT gram FROM gg WHERE source = '{DECONTAM_BENCH_SOURCE}'),
+corp AS (SELECT doc_id, gram FROM gg WHERE source <> '{DECONTAM_BENCH_SOURCE}')
+SELECT c.doc_id, count(*)::BIGINT AS n_shared_grams
+FROM corp c JOIN bench b USING (gram)
+GROUP BY c.doc_id ORDER BY c.doc_id"""
+
+
+def _split_sql(val_frac: float) -> str:
+    from web_search_engine_ray.pipelines.curation import split_threshold_hex
+    thr = split_threshold_hex(val_frac)
+    return f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{thr}'
+            THEN 'val' ELSE 'train' END AS split
+FROM documents ORDER BY doc_id"""
+
+
+_REPETITION_SQL = f"""
+WITH toks AS ({_TOKS_POS}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT c FROM toks GROUP BY 1, 2),
+ta AS (SELECT doc_id, sum(c)::BIGINT n,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT dup
+       FROM tf GROUP BY 1),
+bg AS (SELECT doc_id,
+              term || ' ' || lead(term) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS g
+       FROM toks),
+bf AS (SELECT doc_id, g, count(*)::BIGINT c FROM bg WHERE g IS NOT NULL
+       GROUP BY 1, 2),
+ba AS (SELECT doc_id, sum(c)::BIGINT tot, max(c)::BIGINT mx,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT dup2
+       FROM bf GROUP BY 1)
+SELECT d.doc_id, coalesce(ta.n, 0)::BIGINT AS n_tokens,
+       round(CASE WHEN coalesce(ta.n, 0) = 0 THEN 0.0
+             ELSE ta.dup::DOUBLE / ta.n END, 6) AS dup_token_frac,
+       round(CASE WHEN ba.tot IS NULL THEN 0.0
+             ELSE ba.mx::DOUBLE / ba.tot END, 6) AS top_2gram_frac,
+       round(CASE WHEN ba.tot IS NULL THEN 0.0
+             ELSE ba.dup2::DOUBLE / ba.tot END, 6) AS dup_2gram_frac
+FROM documents d LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
+ORDER BY doc_id"""
 
 
 def _query_terms_values(queries: list[tuple[int, str]]) -> str:
@@ -615,6 +735,7 @@ FROM hx ORDER BY media_id"""
 
 
 from web_search_engine_ray.functions.textproc import STOPWORDS  # noqa: E402
+from web_search_engine_ray.pipelines.curation import DECONTAM_K  # noqa: E402
 
 _STOPLIST_SQL = "','".join(sorted(STOPWORDS))
 
@@ -758,6 +879,10 @@ SELECT user_id, count(*)::BIGINT AS n_sessions,
        sum(sz)::BIGINT AS n_events,
        max(sz)::BIGINT AS max_session_events
 FROM per_sess GROUP BY user_id ORDER BY user_id""",
+    "decontam": _decontam_sql(DECONTAM_K),
+    "split_docs": _split_sql(0.1),
+    "repetition": _REPETITION_SQL,
+    "phrase_match": _phrase_sql(),
 }
 
 QUERIES = {
@@ -789,4 +914,8 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "transcripts_bm25": transcripts_bm25,
+    "decontam": decontam,
+    "split_docs": split_docs,
+    "repetition": repetition,
+    "phrase_match": phrase_match,
 }
