@@ -171,3 +171,38 @@ def test_distributed_offsets_validation(tmp_path_factory):
     with _pytest.raises(Exception) as ei:
         ds, _ = conversation_offsets_ds(ray.data.from_arrow(bad))
     assert "dense" in str(ei.value)
+
+
+def test_overlapped_build_identical_segments(tmp_path_factory):
+    """The overlapped fresh-build path (doc_table write || hot terms,
+    checkpoint write || merge) is a scheduling-only optimization: same
+    segments, same stats, same doc_table rows as the sequential path.
+    Overlap requires a parquet-path input, so both builds go through
+    write_parquet first."""
+    import dataclasses
+
+    import pyarrow.dataset as pads
+
+    from web_search_engine_ray.spec import EngineConfig
+
+    root = tmp_path_factory.mktemp("ovl")
+    src = str(root / "corpus")
+    gen_transcripts(N_CONVS).write_parquet(src)
+    outs, stats = [], []
+    for name, cfg in (("o", EngineConfig()),
+                      ("s", dataclasses.replace(
+                          EngineConfig(), overlap_build_stages=False))):
+        out = str(root / name)
+        stats.append(build_index(src, out, cfg))
+        outs.append(out)
+    assert _bucket_hashes(outs[0]) == _bucket_hashes(outs[1])
+    for k in ("n_docs", "max_doc_id", "total_tokens", "avgdl", "dl_min"):
+        assert stats[0][k] == stats[1][k]
+    # overlap marks every stage done, so a resume is a no-op fast path
+    t0 = __import__("time").time()
+    build_index(src, outs[0], EngineConfig(), resume=True)
+    assert __import__("time").time() - t0 < 5
+    tbls = [pads.dataset(os.path.join(o, "doc_table"),
+                         format="parquet").to_table().sort_by("doc_id")
+            for o in outs]
+    assert tbls[0].equals(tbls[1])

@@ -160,8 +160,29 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
             _cache.append(ds)
         return _cache[0]
 
-    # -- stage: doc_table -------------------------------------------------
+    # -- overlapped fresh build (scheduling-only optimization) ------------
+    # On the flagship plain path (string transcripts input, no filter /
+    # dedup, fresh manifest), the doc_table write is independent of the
+    # partials -> merge chain, and the partials CHECKPOINT write is
+    # independent of the merge that consumes the same materialized
+    # blocks.  Run both concurrently: outputs are byte-identical to the
+    # sequential path (same assign fn, same encode, same finalize); only
+    # task scheduling changes.  Stages are marked done strictly after
+    # their own writes complete, so a mid-build failure resumes cleanly
+    # (at worst it redoes work the sequential path would have kept).
     doc_dir = os.path.join(out_dir, DOC_TABLE_DIR)
+    overlap_ok = (
+        cfg.overlap_build_stages and isinstance(corpus, str)
+        and input_kind == "transcripts" and not filter_expr and not dedup
+        and cfg.checkpoint_partials and cfg.materialize_partials
+        and cfg.merge_strategy == "direct"
+        and not any(man.done(s) for s in (
+            "doc_table", "stats", "hot_terms", "partials", "segments"))
+        and 0 < _parquet_num_rows(corpus) <= cfg.docid_small_input_rows)
+    if overlap_ok:
+        _overlapped_fresh_build(corpus, out_dir, cfg, man, _metrics)
+
+    # -- stage: doc_table -------------------------------------------------
     if not man.done("doc_table"):
         _clean(doc_dir)
         # pure metadata+text pass: doc_len lives in the DL_SENTINEL
@@ -339,6 +360,125 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
         stats["dl_min"] = fin["dl_min"]
     stats["stage_seconds"] = _metrics
     return stats
+
+
+def _overlapped_fresh_build(corpus: str, out_dir: str, cfg: EngineConfig,
+                            man: Manifest, metrics: dict) -> None:
+    """Fresh plain-path build with stage overlap (see build_index).
+
+    Concurrency structure (threads only drive Ray pipelines; all heavy
+    work is in Ray tasks, which fair-share the CPUs because A1 runs in
+    task form on this path):
+
+        offsets + hot_terms (driver, ~1 s)
+        ├── thread: read -> assign -> write doc_table (zstd)
+        └── main:   read -> assign -> A1 tokenize+encode -> materialize
+                    ├── thread: write partials checkpoint (zstd)
+                    └── main:   direct_merge -> segments + dictionary
+        join all; mark stages done (each strictly after its write)
+    """
+    import threading
+    import time as _time
+
+    from web_search_engine_ray.stages.exchange import direct_merge
+    from web_search_engine_ray.stages.indexer import (
+        conversation_offsets_from_parquet, detect_hot_terms_from_parquet)
+
+    t0 = _time.time()
+    offsets, n_docs = conversation_offsets_from_parquet(corpus)
+    offsets_ref = ray.put(offsets)
+    metrics["offsets"] = round(_time.time() - t0, 3)
+
+    doc_dir = os.path.join(out_dir, DOC_TABLE_DIR)
+    partials_dir = os.path.join(out_dir, PARTIALS_DIR)
+    seg_dir = os.path.join(out_dir, SEGMENTS_DIR)
+    dict_dir = os.path.join(out_dir, DICT_DIR)
+    for d in (doc_dir, partials_dir, seg_dir, dict_dir):
+        _clean(d)
+
+    errs: list[BaseException] = []
+
+    def _run(label: str, fn) -> threading.Thread:
+        def _target():
+            t = _time.time()
+            try:
+                fn()
+            except BaseException as e:   # re-raised on the main thread
+                errs.append(e)
+            metrics[label] = round(_time.time() - t, 3)
+        th = threading.Thread(target=_target, daemon=True)
+        th.start()
+        return th
+
+    # doc_table write (a Ray job) runs while the DRIVER computes the
+    # hot-term sample — driver-side pandas/regex work that would
+    # otherwise serialize after the write.  Never two CPU-heavy Ray
+    # pipelines at once: measured on this box, concurrent full pipelines
+    # oversubscribe the cores and run slower than sequential.
+    def _write_doc_table():
+        read_transcripts(corpus).map_batches(
+            make_assign_doc_ids(offsets_ref), batch_format="pyarrow",
+            zero_copy_batch=True).write_parquet(doc_dir, compression="zstd")
+
+    th_doc = _run("doc_table", _write_doc_table)
+    t1 = _time.time()
+    hot = sorted(detect_hot_terms_from_parquet(corpus, cfg))
+    metrics["hot_terms"] = round(_time.time() - t1, 3)
+    th_doc.join()
+    if errs:
+        raise errs[0]
+
+    # partials read the checkpointed doc_table (column-pruned, doc_id
+    # already assigned) — one corpus scan and one assign pass saved
+    t1 = _time.time()
+    indexer_kwargs = dict(hot_ref=ray.put(set(hot)),
+                          num_buckets=cfg.num_buckets, salt_s=cfg.salt_s,
+                          n_docs=max(1, n_docs))
+    src = ray.data.read_parquet(doc_dir, columns=["doc_id", "text"])
+    if cfg.indexer_actor_pool:
+        partials = src.map_batches(
+            PartitionIndexer,
+            fn_constructor_args=tuple(indexer_kwargs.values()),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.tokenize_batch_size,
+            concurrency=_actor_concurrency())
+    else:
+        partials = src.map_batches(
+            PartitionIndexer.task_fn, fn_kwargs=indexer_kwargs,
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.tokenize_batch_size)
+    live = partials.materialize()
+    metrics["partials"] = round(_time.time() - t1, 3)
+
+    # the checkpoint write (IO-bound) overlaps the merge (CPU-bound);
+    # both consume the same materialized blocks
+    th_ckpt = _run("partials_ckpt",
+                   lambda: live.write_parquet(partials_dir,
+                                              compression="zstd"))
+    t2 = _time.time()
+    n_cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
+    bucket_rows = direct_merge(live, seg_dir, dict_dir, cfg.salt_s, n_cpus)
+    metrics["segments"] = round(_time.time() - t2, 3)
+    th_ckpt.join()
+    if errs:
+        raise errs[0]
+
+    man.mark_done("doc_table")
+    stats = {
+        "n_docs": int(n_docs),
+        "max_doc_id": int(n_docs) - 1,    # dense 0..n-1 by construction
+        "num_buckets": cfg.num_buckets,
+        "salt_s": cfg.salt_s,
+        "block_size": cfg.block_size,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "config_hash": cfg.config_hash(),
+    }
+    man.mark_done("stats", **stats)
+    man.mark_done("hot_terms", hot_terms=hot)
+    man.mark_done("partials", checkpointed=True)
+    man.record_buckets(bucket_rows)
+    man.mark_done("segments", n_buckets=len(man.data["buckets"]))
 
 
 def _actor_concurrency() -> int:

@@ -111,6 +111,10 @@ class EngineConfig:
     # pure fast path), distributed sort + prefix-sum + hash join above it
     docid_small_input_rows: int = 20_000_000
     docid_distributed: bool = False    # True: force the distributed path
+    # run doc_table write CONCURRENTLY with tokenize+merge, and the
+    # partials checkpoint write concurrently with the merge (fresh
+    # plain-path builds only; outputs byte-identical — scheduling only)
+    overlap_build_stages: bool = True
 
     def config_hash(self) -> str:
         payload = repr(sorted(asdict(self).items())).encode()
