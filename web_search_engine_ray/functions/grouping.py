@@ -53,3 +53,61 @@ def group_slices(sort_cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     change = np.flatnonzero(diff) + 1
     return np.r_[0, change].astype(np.int64), \
         np.r_[change, n].astype(np.int64)
+
+
+def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              on: str, num_partitions: int | None = None,
+              suffix: str = "_r") -> "ray.data.Dataset":
+    """Inner hash join as ONE exchange: tag each side, union, hash-
+    partition on the key, then a per-partition pyarrow (acero) join.
+
+    Exists because Dataset.join's aggregator crashes on EMPTY hash
+    partitions (pyarrow FieldRef "no match" on a schemaless block) —
+    inevitable when a small side meets num_partitions > distinct keys.
+    This form tolerates empty partitions (each side's sub-table always
+    carries its schema) and reuses the repo's hash_partition contract.
+    Right-side non-key columns colliding with left names get
+    ``suffix``.  Row order is not defined (hash-partitioned), as with
+    any shuffle join.
+    """
+    import pyarrow as pa
+
+    ls, rs = left.schema(), right.schema()
+    if on not in ls.names or on not in rs.names:
+        raise ValueError(f"join key {on!r} missing: {ls.names} / {rs.names}")
+    l_only = [n for n in ls.names if n != on]
+    r_only = [n for n in rs.names if n != on]
+    ren = {n: (n + suffix if n in ls.names else n) for n in r_only}
+    l_types = dict(zip(ls.names, ls.types))
+    r_types = dict(zip(rs.names, rs.types))
+    out_names = [on] + l_only + [ren[n] for n in r_only]
+
+    def _pad(side: int):
+        def pad(b: "pa.Table") -> "pa.Table":
+            n = b.num_rows
+            cols = {on: b.column(on)}
+            for c in l_only:
+                cols[c] = b.column(c) if side == 0 else pa.nulls(
+                    n, l_types[c])
+            for c in r_only:
+                cols[ren[c]] = pa.nulls(n, r_types[c]) if side == 0 \
+                    else b.column(c)
+            cols["__side"] = pa.array(np.full(n, side, np.int8))
+            return pa.table(cols)
+        return pad
+
+    u = left.map_batches(_pad(0), batch_format="pyarrow",
+                         zero_copy_batch=True).union(
+        right.map_batches(_pad(1), batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def _merge(b: "pa.Table") -> "pa.Table":
+        side = b.column("__side").to_numpy()
+        lt = b.filter(pa.array(side == 0)).select([on] + l_only)
+        rt = b.filter(pa.array(side == 1)).select(
+            [on] + [ren[c] for c in r_only])
+        return lt.join(rt, keys=on, join_type="inner").select(out_names)
+
+    return hash_partition(u, [on], num_partitions).map_batches(
+        _merge, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)

@@ -474,6 +474,45 @@ def phrase_match(sf_dir: str) -> pa.Table:
     return phrase_search(idx, _docs_ds(sf_dir, ["doc_id", "text"]), PHRASES)
 
 
+def pos_index_for(sf_dir: str) -> str:
+    """Build (or reuse) the positional sidecar index over documents."""
+    from web_search_engine_ray.pipelines.positional import \
+        build_positional_index
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = f"/tmp/wse_pos_{key}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        build_positional_index(_documents_path(sf_dir), out)
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
+
+
+def phrase_match_pos(sf_dir: str) -> pa.Table:
+    """Index-native phrase adjacency (no corpus text touched at query
+    time) — same oracle as phrase_match by construction."""
+    from web_search_engine_ray.pipelines.positional import phrase_search_pos
+    return phrase_search_pos(pos_index_for(sf_dir), PHRASES)
+
+
+def top_bigrams_q(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.ngrams import top_bigrams
+    return top_bigrams(_docs_ds(sf_dir, ["doc_id", "text"]), k=25)
+
+
+def pmi_bigrams_q(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.ngrams import pmi_bigrams
+    return pmi_bigrams(_docs_ds(sf_dir, ["doc_id", "text"]),
+                       min_count=5, k=25)
+
+
+def tfidf_keywords_q(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.ngrams import tfidf_keywords
+    n = _docs_ds(sf_dir, ["doc_id"]).count()
+    return tfidf_keywords(_docs_ds(sf_dir, ["doc_id", "text"]),
+                          n_docs=n, k=3)
+
+
 # --- DuckDB oracle SQL ---------------------------------------------------
 
 _TOKS = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
@@ -556,6 +595,50 @@ SELECT d.doc_id, coalesce(ta.n, 0)::BIGINT AS n_tokens,
              ELSE ba.dup2::DOUBLE / ba.tot END, 6) AS dup_2gram_frac
 FROM documents d LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
 ORDER BY doc_id"""
+
+
+_BIGRAM_BASE = f"""
+toks AS ({_TOKS_POS}),
+bg AS (SELECT term || ' ' || lead(term) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS g
+       FROM toks),
+bc AS (SELECT g, count(*)::BIGINT c FROM bg WHERE g IS NOT NULL GROUP BY g)"""
+
+_TOP_BIGRAMS_SQL = f"""
+WITH {_BIGRAM_BASE}
+SELECT g AS bigram, c AS n_occ FROM bc
+ORDER BY n_occ DESC, bigram LIMIT 25"""
+
+# mirrors ngrams.pmi_bigrams exactly: same division order inside ln,
+# rounded to 6 before the (pmi desc, bigram asc) top-k
+_PMI_SQL = f"""
+WITH {_BIGRAM_BASE},
+uc AS (SELECT term, count(*)::BIGINT c FROM toks GROUP BY term),
+tot AS (SELECT (SELECT sum(c) FROM bc)::DOUBLE t2,
+               (SELECT sum(c) FROM uc)::DOUBLE t1)
+SELECT b.g AS bigram, b.c AS n_occ,
+       round(ln((b.c / t.t2) / ((ua.c / t.t1) * (ub.c / t.t1))), 6) AS pmi
+FROM bc b
+JOIN uc ua ON ua.term = split_part(b.g, ' ', 1)
+JOIN uc ub ON ub.term = split_part(b.g, ' ', 2)
+CROSS JOIN tot t
+WHERE b.c >= 5
+ORDER BY pmi DESC, bigram LIMIT 25"""
+
+_TFIDF_SQL = f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT df FROM toks
+       GROUP BY term),
+n AS (SELECT count(*)::DOUBLE n FROM documents),
+s AS (SELECT t.doc_id, t.term, round(t.tf * ln(n.n / f.df), 6) AS score
+      FROM tf t JOIN df f USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, score,
+      CAST(row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS INTEGER) AS rank
+      FROM s)
+SELECT doc_id, term, score, rank FROM r WHERE rank <= 3
+ORDER BY doc_id, rank"""
 
 
 def _query_terms_values(queries: list[tuple[int, str]]) -> str:
@@ -883,6 +966,10 @@ FROM per_sess GROUP BY user_id ORDER BY user_id""",
     "split_docs": _split_sql(0.1),
     "repetition": _REPETITION_SQL,
     "phrase_match": _phrase_sql(),
+    "phrase_match_pos": _phrase_sql(),
+    "top_bigrams": _TOP_BIGRAMS_SQL,
+    "pmi_bigrams": _PMI_SQL,
+    "tfidf_keywords": _TFIDF_SQL,
 }
 
 QUERIES = {
@@ -918,4 +1005,8 @@ QUERIES = {
     "split_docs": split_docs,
     "repetition": repetition,
     "phrase_match": phrase_match,
+    "phrase_match_pos": phrase_match_pos,
+    "top_bigrams": top_bigrams_q,
+    "pmi_bigrams": pmi_bigrams_q,
+    "tfidf_keywords": tfidf_keywords_q,
 }
