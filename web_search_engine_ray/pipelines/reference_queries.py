@@ -506,6 +506,16 @@ def pmi_bigrams_q(sf_dir: str) -> pa.Table:
                        min_count=5, k=25)
 
 
+QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def events_quantiles(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.quantiles import exact_quantiles
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    return exact_quantiles(ds, "value", QUANTILE_QS)
+
+
 def tfidf_keywords_q(sf_dir: str) -> pa.Table:
     from web_search_engine_ray.pipelines.ngrams import tfidf_keywords
     n = _docs_ds(sf_dir, ["doc_id"]).count()
@@ -970,6 +980,13 @@ FROM per_sess GROUP BY user_id ORDER BY user_id""",
     "top_bigrams": _TOP_BIGRAMS_SQL,
     "pmi_bigrams": _PMI_SQL,
     "tfidf_keywords": _TFIDF_SQL,
+    "events_quantiles": (
+        "SELECT q, value FROM ("
+        + " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q,"
+            f" round(quantile_disc(value, {q}), 6) AS value FROM events"
+            for q in [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+        + ") ORDER BY q"),
 }
 
 QUERIES = {
@@ -1009,4 +1026,5 @@ QUERIES = {
     "top_bigrams": top_bigrams_q,
     "pmi_bigrams": pmi_bigrams_q,
     "tfidf_keywords": tfidf_keywords_q,
+    "events_quantiles": events_quantiles,
 }
