@@ -506,6 +506,44 @@ def pmi_bigrams_q(sf_dir: str) -> pa.Table:
                        min_count=5, k=25)
 
 
+def _tpch(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                                 columns=columns)
+
+
+def tpch_pricing(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.relational import pricing_summary
+    return pricing_summary(
+        _tpch(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice", "l_discount", "l_tax", "l_shipdate"]),
+        "1998-09-01")
+
+
+def tpch_shipping(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.relational import (
+        shipping_priority_topk)
+    return shipping_priority_topk(
+        _tpch(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        _tpch(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]),
+        _tpch(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]),
+        segment="BUILDING", date="1998-03-15", k=10)
+
+
+def tpch_nation_revenue(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.relational import nation_revenue
+    return nation_revenue(
+        pq.read_table(os.path.join(sf_dir, "region.parquet")),
+        pq.read_table(os.path.join(sf_dir, "nation.parquet")),
+        _tpch(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _tpch(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _tpch(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount"]),
+        region_name="ASIA", date_lo="1996-01-01", date_hi="1998-01-01")
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -980,6 +1018,43 @@ FROM per_sess GROUP BY user_id ORDER BY user_id""",
     "top_bigrams": _TOP_BIGRAMS_SQL,
     "pmi_bigrams": _PMI_SQL,
     "tfidf_keywords": _TFIDF_SQL,
+    "tpch_pricing": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 6) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_extendedprice), 6) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+    "tpch_shipping": """
+SELECT l_orderkey AS o_orderkey,
+  round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "tpch_nation_revenue": """
+SELECT n_name,
+  round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "events_quantiles": (
         "SELECT q, value FROM ("
         + " UNION ALL ".join(
@@ -1027,4 +1102,7 @@ QUERIES = {
     "pmi_bigrams": pmi_bigrams_q,
     "tfidf_keywords": tfidf_keywords_q,
     "events_quantiles": events_quantiles,
+    "tpch_pricing": tpch_pricing,
+    "tpch_shipping": tpch_shipping,
+    "tpch_nation_revenue": tpch_nation_revenue,
 }

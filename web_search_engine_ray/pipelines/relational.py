@@ -1,0 +1,320 @@
+"""Relational analytics over the TPC-H-shaped tables — the engine's
+general joins/aggregates leg (spec: BASELINE.json north_rule's "same
+query and data-processing capabilities"; tables per TESTDATA.md).
+
+Shapes (all 100 TB-safe):
+
+- ``pricing_summary`` (TPC-H Q1 analog) — filter + derived columns +
+  grouped multi-aggregate.  Per-batch Arrow combiner collapses each
+  batch to <= n_groups rows (returnflag x linestatus is a tiny,
+  data-bounded key space), ONE hash exchange of those partial rows,
+  vectorized finalize (sums -> avgs).  The corpus is never shuffled.
+- ``shipping_priority_topk`` (Q3 analog) — segment semi-join
+  (customer keys), two large-table hash joins (orders, lineitem; one
+  exchange each via functions.grouping.hash_join), per-batch revenue
+  combiner keyed on the order, one exchange of partials, then global
+  top-k WITHOUT a global sort (per-block candidates, driver merges
+  k x n_blocks skinny rows).
+- ``nation_revenue`` (Q5-style) — dimension tables (region, nation:
+  O(100) rows at any scale) are joined driver-side and broadcast once
+  via ``ray.put``; facts flow through hash joins and a nation-keyed
+  combiner whose output is bounded by the nation count.
+
+Rounding contract: money sums are rounded to 2 decimals (the oracle
+rounds identically).  Distributed summation order can move a sum by
+~n*eps*max_value (~1e-6 at 1e8 scale), so equality with the oracle
+holds unless the TRUE sum sits within that error of a .005 boundary —
+measure-zero for continuous-valued data, but constructible (grid
+prices x grid discounts); see tests/test_relational.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from web_search_engine_ray.functions.grouping import hash_join, hash_partition
+
+_PRICING_PARTIAL = {
+    "l_returnflag": pa.string(), "l_linestatus": pa.string(),
+    "sum_qty": pa.float64(), "sum_base_price": pa.float64(),
+    "sum_disc_price": pa.float64(), "sum_charge": pa.float64(),
+    "sum_disc": pa.float64(), "count_order": pa.int64(),
+}
+
+
+def _empty(schema: dict) -> pa.Table:
+    return pa.table({k: pa.array([], t) for k, t in schema.items()})
+
+
+def pricing_summary(lineitem: "ray.data.Dataset",
+                    cutoff: str) -> pa.Table:
+    """Q1: per (l_returnflag, l_linestatus) over l_shipdate <= cutoff:
+    sum_qty, sum_base_price, sum_disc_price, sum_charge, avg_qty,
+    avg_price, avg_disc, count_order (floats rounded to 6)."""
+    cut = np.datetime64(cutoff, "us")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = pc.less_equal(batch.column("l_shipdate"),
+                          pa.scalar(cut, pa.timestamp("us")))
+        t = batch.filter(m)
+        if t.num_rows == 0:
+            return _empty(_PRICING_PARTIAL)
+        ep = t.column("l_extendedprice")
+        disc = t.column("l_discount")
+        one_m_d = pc.subtract(pa.scalar(1.0), disc)
+        disc_price = pc.multiply(ep, one_m_d)
+        charge = pc.multiply(disc_price,
+                             pc.add(pa.scalar(1.0), t.column("l_tax")))
+        g = pa.TableGroupBy(pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": t.column("l_quantity"), "bp": ep,
+            "dp": disc_price, "ch": charge, "d": disc,
+        }), ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("bp", "sum"), ("dp", "sum"),
+             ("ch", "sum"), ("d", "sum"), ([], "count_all")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty": g.column("qty_sum"),
+            "sum_base_price": g.column("bp_sum"),
+            "sum_disc_price": g.column("dp_sum"),
+            "sum_charge": g.column("ch_sum"),
+            "sum_disc": g.column("d_sum"),
+            "count_order": g.column("count_all")})
+
+    partials = lineitem.select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax", "l_shipdate"]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty({k: v for k, v in _PRICING_PARTIAL.items()
+                           if k != "sum_disc"} | {"avg_qty": pa.float64(),
+                                                  "avg_price": pa.float64(),
+                                                  "avg_disc": pa.float64()})
+        g = pa.TableGroupBy(batch, ["l_returnflag", "l_linestatus"]) \
+            .aggregate([("sum_qty", "sum"), ("sum_base_price", "sum"),
+                        ("sum_disc_price", "sum"), ("sum_charge", "sum"),
+                        ("sum_disc", "sum"), ("count_order", "sum")])
+        n = g.column("count_order_sum").to_numpy().astype(np.float64)
+        # money sums reach ~1e8 with float addition error near 1e-6, so
+        # a 6-decimal round is hash-unstable across summation orders;
+        # 2 decimals (money semantics) leaves 4 orders of margin.
+        # sum_qty is a sum of small integral doubles — exact — and the
+        # avgs divide by n, shrinking the error well under 1e-6.
+        r2 = (lambda c: pa.array(
+            np.round(g.column(c).to_numpy(), 2), pa.float64()))
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty": pa.array(np.round(
+                g.column("sum_qty_sum").to_numpy(), 6), pa.float64()),
+            "sum_base_price": r2("sum_base_price_sum"),
+            "sum_disc_price": r2("sum_disc_price_sum"),
+            "sum_charge": r2("sum_charge_sum"),
+            "avg_qty": pa.array(np.round(
+                g.column("sum_qty_sum").to_numpy() / n, 6), pa.float64()),
+            "avg_price": pa.array(np.round(
+                g.column("sum_base_price_sum").to_numpy() / n, 6),
+                pa.float64()),
+            "avg_disc": pa.array(np.round(
+                g.column("sum_disc_sum").to_numpy() / n, 6), pa.float64()),
+            "count_order": g.column("count_order_sum")})
+
+    batches = list(
+        hash_partition(partials, ["l_returnflag", "l_linestatus"])
+        .map_batches(_final, batch_size=None, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return _final(_empty(_PRICING_PARTIAL))
+    out = pa.concat_tables(batches, promote_options="default")
+    return out.sort_by([("l_returnflag", "ascending"),
+                        ("l_linestatus", "ascending")])
+
+
+def _blockwise_topk(ds: "ray.data.Dataset", order_col: str, tie_col: str,
+                    k: int, empty: pa.Table) -> pa.Table:
+    """Global top-k when each key's total lives in one block: per-block
+    candidate cut (k rows) -> driver merge of k x n_blocks rows."""
+    def _cand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=[
+            (order_col, "descending"), (tie_col, "ascending")])
+        return batch.take(idx.slice(0, k))
+    batches = list(ds.map_batches(
+        _cand, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_format="pyarrow"))
+    merged = pa.concat_tables(batches, promote_options="default") \
+        if batches else empty
+    return merged.sort_by([(order_col, "descending"),
+                           (tie_col, "ascending")]).slice(0, k)
+
+
+_SHIP_SCHEMA = {"o_orderkey": pa.int64(), "revenue": pa.float64(),
+                "o_orderdate": pa.timestamp("us"),
+                "o_orderpriority": pa.string()}
+
+
+def shipping_priority_topk(customer: "ray.data.Dataset",
+                           orders: "ray.data.Dataset",
+                           lineitem: "ray.data.Dataset",
+                           segment: str, date: str,
+                           k: int = 10) -> pa.Table:
+    """Q3: top-k orders by revenue = sum(l_extendedprice*(1-l_discount))
+    among customers in ``segment``, o_orderdate < date < l_shipdate.
+    Ties: o_orderkey ascending.  Columns: o_orderkey, revenue,
+    o_orderdate, o_orderpriority."""
+    d = np.datetime64(date, "us")
+    ts = pa.scalar(d, pa.timestamp("us"))
+
+    cust = customer.select_columns(["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), segment))
+            .select(["c_custkey"]).rename_columns(["o_custkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    ordr = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(lambda b: b.filter(
+            pc.less(b.column("o_orderdate"), ts)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    # semi-join: orders of in-segment customers (hash join on custkey)
+    ordr_in = hash_join(ordr, cust, on="o_custkey") \
+        .select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    line = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(lambda b: (lambda t: pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "rev": pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")))}))(
+                b.filter(pc.greater(b.column("l_shipdate"), ts))),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(line, ordr_in, on="o_orderkey")
+
+    def _rev_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty(_SHIP_SCHEMA)
+        g = pa.TableGroupBy(batch, ["o_orderkey", "o_orderdate",
+                                    "o_orderpriority"]) \
+            .aggregate([("rev", "sum")])
+        return pa.table({"o_orderkey": g.column("o_orderkey"),
+                         "revenue": g.column("rev_sum"),
+                         "o_orderdate": g.column("o_orderdate"),
+                         "o_orderpriority": g.column("o_orderpriority")})
+
+    # partial per join partition, then ONE exchange so each order's
+    # total lands in a single block (hash_join output is already
+    # partitioned by o_orderkey, but the combiner keeps the exchange
+    # rows-per-distinct-order, not rows-per-lineitem)
+    def _rev_final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty(_SHIP_SCHEMA)
+        g = pa.TableGroupBy(batch, ["o_orderkey", "o_orderdate",
+                                    "o_orderpriority"]) \
+            .aggregate([("revenue", "sum")])
+        return pa.table({
+            "o_orderkey": g.column("o_orderkey"),
+            # per-order sums span few lineitems -> addition error ~1e-11;
+            # round 2 (money) matches the oracle with wide margin
+            "revenue": pa.array(np.round(
+                g.column("revenue_sum").to_numpy(), 2), pa.float64()),
+            "o_orderdate": g.column("o_orderdate"),
+            "o_orderpriority": g.column("o_orderpriority")})
+
+    totals = hash_partition(
+        joined.map_batches(_rev_partial, batch_size=None,
+                           batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderkey"]).map_batches(
+        _rev_final, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+    return _blockwise_topk(totals, "revenue", "o_orderkey", k,
+                           _empty(_SHIP_SCHEMA)) \
+        .select(["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"])
+
+
+def nation_revenue(region: pa.Table, nation: pa.Table,
+                   customer: "ray.data.Dataset",
+                   orders: "ray.data.Dataset",
+                   lineitem: "ray.data.Dataset",
+                   region_name: str, date_lo: str,
+                   date_hi: str) -> pa.Table:
+    """Q5-style: revenue by customer nation within ``region_name`` for
+    orders with date_lo <= o_orderdate < date_hi.  Dimension tables
+    (region, nation — O(100) rows at any corpus scale) come in as
+    driver-side Arrow tables and are broadcast ONCE via ray.put; the
+    fact tables stream through hash joins.  Output (n_name, revenue)
+    sorted by revenue desc, n_name asc."""
+    rk = region.filter(pc.equal(region.column("r_name"), region_name)) \
+        .column("r_regionkey").to_pylist()
+    nat = nation.filter(pc.is_in(nation.column("n_regionkey"),
+                                 value_set=pa.array(rk, pa.int32())))
+    key2name = dict(zip(nat.column("n_nationkey").to_pylist(),
+                        nat.column("n_name").to_pylist()))
+    keys_ref = ray.put(np.asarray(sorted(key2name), np.int32))
+
+    def _cust_filter(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        m = pc.is_in(batch.column("c_nationkey"),
+                     value_set=pa.array(keys, pa.int32()))
+        t = batch.filter(m)
+        return pa.table({"o_custkey": t.column("c_custkey"),
+                         "c_nationkey": t.column("c_nationkey")})
+
+    cust = customer.select_columns(["c_custkey", "c_nationkey"]) \
+        .map_batches(_cust_filter, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    lo = pa.scalar(np.datetime64(date_lo, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"), pa.timestamp("us"))
+    ordr = orders.select_columns(["o_orderkey", "o_custkey",
+                                  "o_orderdate"]) \
+        .map_batches(lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), lo),
+            pc.less(b.column("o_orderdate"), hi)))
+            .select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    ordr_nat = hash_join(ordr, cust, on="o_custkey") \
+        .select_columns(["o_orderkey", "c_nationkey"])
+    line = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b.column("l_orderkey"),
+            "rev": pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(line, ordr_nat, on="o_orderkey")
+
+    def _nat_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"c_nationkey": pa.array([], pa.int32()),
+                             "rev": pa.array([], pa.float64())})
+        g = pa.TableGroupBy(batch, ["c_nationkey"]).aggregate(
+            [("rev", "sum")])
+        return pa.table({"c_nationkey": g.column("c_nationkey"),
+                         "rev": g.column("rev_sum")})
+
+    # nation-count-bounded partials: final sum on the driver is O(25)
+    parts = list(joined.map_batches(
+        _nat_partial, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_format="pyarrow"))
+    acc: dict[int, float] = {}
+    for t in parts:
+        for nk, r in zip(t.column("c_nationkey").to_pylist(),
+                         t.column("rev").to_pylist()):
+            acc[nk] = acc.get(nk, 0.0) + r
+    rows = sorted(((round(v, 2), key2name[nk]) for nk, v in acc.items()),
+                  key=lambda x: (-x[0], x[1]))
+    return pa.table({"n_name": pa.array([r[1] for r in rows], pa.string()),
+                     "revenue": pa.array([r[0] for r in rows],
+                                         pa.float64())})
