@@ -544,6 +544,40 @@ def tpch_nation_revenue(sf_dir: str) -> pa.Table:
         region_name="ASIA", date_lo="1996-01-01", date_hi="1998-01-01")
 
 
+def events_asof(sf_dir: str) -> pa.Table:
+    """As-of join: each click event gains the latest prior view value
+    of the same user (inner; clicks with no prior view drop)."""
+    from web_search_engine_ray.pipelines.temporal import asof_join
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "ts", "user_id", "value"])
+    views = ev.filter(expr="event_type == 'view'") \
+        .select_columns(["ts", "user_id", "value"])
+    out = asof_join(clicks, views, key="user_id", ts_col="ts",
+                    value_cols=["value"])
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")),
+                         promote_options="default")
+    return t.sort_by([("event_id", "ascending")])
+
+
+HOP_WINDOW_US = 3_600_000_000   # 1 h windows ...
+HOP_SLIDE_US = 900_000_000      # ... every 15 min (4x overlap)
+
+
+def events_hopping(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.temporal import hopping_window_agg
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+    out = hopping_window_agg(ev, "ts", "event_type", "value",
+                             HOP_WINDOW_US, HOP_SLIDE_US)
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")),
+                         promote_options="default")
+    return t.sort_by([("window_start", "ascending"),
+                      ("event_type", "ascending")])
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -1055,6 +1089,22 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "events_asof": """
+SELECT l.user_id, l.event_id, l.ts, l.value, r.value AS value_r
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id""",
+    "events_hopping": """
+SELECT make_timestamp(k * 900000000) AS window_start, event_type,
+  round(sum(value), 6) AS sum_value, count(*) AS n
+FROM (
+  SELECT event_type, value,
+    unnest(generate_series(
+      (epoch_us(ts) - 3600000000) // 900000000 + 1,
+      epoch_us(ts) // 900000000)) AS k
+  FROM events)
+GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_quantiles": (
         "SELECT q, value FROM ("
         + " UNION ALL ".join(
@@ -1102,6 +1152,8 @@ QUERIES = {
     "pmi_bigrams": pmi_bigrams_q,
     "tfidf_keywords": tfidf_keywords_q,
     "events_quantiles": events_quantiles,
+    "events_asof": events_asof,
+    "events_hopping": events_hopping,
     "tpch_pricing": tpch_pricing,
     "tpch_shipping": tpch_shipping,
     "tpch_nation_revenue": tpch_nation_revenue,
