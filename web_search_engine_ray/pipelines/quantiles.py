@@ -26,6 +26,9 @@ import pyarrow as pa
 
 import ray.data
 
+from web_search_engine_ray.functions.grouping import (group_slices,
+                                                      hash_partition)
+
 
 def _bin_index(v: np.ndarray, mn: float, mx: float,
                n_bins: int) -> np.ndarray:
@@ -95,3 +98,59 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str,
                      "value": pa.array([round(answers[q], 6)
                                         for q in sorted(qs)],
                                        pa.float64())})
+
+
+def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
+                      qs: list[float],
+                      num_partitions: int | None = None) -> pa.Table:
+    """(key, q, value) — exact quantile_disc per key, sorted (key, q).
+
+    Shape: ONE hash exchange of the pruned (key, value) columns
+    co-locates each key's rows, then a per-partition lexsort +
+    reduceat-style gather answers every key in the partition
+    vectorized.  This is the general-cardinality path (driver sees
+    only result rows); for the scalar case prefer exact_quantiles,
+    which never shuffles at all.  Keys hotter than a worker's heap
+    need upstream salting (hash_partition contract)."""
+    qarr = np.asarray(sorted(qs), np.float64)
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[key]
+
+    def _per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key: pa.array([], key_type),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        import pyarrow.compute as pc
+        enc = pc.dictionary_encode(batch.column(key)).combine_chunks()
+        kcode = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        vals = batch.column(col).to_numpy().astype(np.float64)
+        order = np.lexsort((vals, kcode))
+        kc, vs = kcode[order], vals[order]
+        starts, ends = group_slices([kc])
+        n_g = len(starts)
+        lens = ends - starts
+        # rank within each group: max(0, ceil(q*n) - 1), gathered flat
+        ranks = np.maximum(
+            0, np.ceil(qarr[None, :] * lens[:, None]).astype(np.int64) - 1)
+        flat_idx = (starts[:, None] + ranks).ravel()
+        out_vals = np.round(vs[flat_idx], 6)
+        out_keys = enc.dictionary.take(
+            pa.array(np.repeat(kc[starts], len(qarr)), pa.int64()))
+        return pa.table({
+            key: out_keys,
+            "q": pa.array(np.tile(qarr, n_g), pa.float64()),
+            "value": pa.array(out_vals, pa.float64())})
+
+    parts = list(
+        hash_partition(ds.select_columns([key, col]), [key],
+                       num_partitions)
+        .map_batches(_per_partition, batch_size=None,
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table({key: pa.array([], key_type),
+                         "q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    return pa.concat_tables(parts, promote_options="default") \
+        .sort_by([(key, "ascending"), ("q", "ascending")])

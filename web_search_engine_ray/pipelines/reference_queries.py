@@ -578,6 +578,35 @@ def events_hopping(sf_dir: str) -> pa.Table:
                       ("event_type", "ascending")])
 
 
+GROUPED_QS = [0.25, 0.5, 0.9]
+
+
+def events_quantiles_by_type(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.quantiles import grouped_quantiles
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    return grouped_quantiles(ds, "event_type", "value", GROUPED_QS)
+
+
+def events_distinct_users(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.distinct import count_distinct
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    return count_distinct(ds, "event_type", "user_id")
+
+
+def events_hll(sf_dir: str) -> pa.Table:
+    """Approximate distinct users (HLL sketch, p=14).  No SQL oracle —
+    the sketch is not SQL-expressible; its error bound is pinned by
+    tests/test_distinct.py against the exact count."""
+    from web_search_engine_ray.pipelines.distinct import approx_distinct
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=14)
+    return pa.table({"metric": pa.array(["approx_distinct_users"]),
+                     "estimate": pa.array([est], pa.int64())})
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -1089,6 +1118,17 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "events_quantiles_by_type": (
+        "SELECT event_type, q, value FROM ("
+        + " UNION ALL ".join(
+            f"SELECT event_type, CAST({q} AS DOUBLE) AS q,"
+            f" round(quantile_disc(value, {q}), 6) AS value"
+            f" FROM events GROUP BY event_type"
+            for q in [0.25, 0.5, 0.9])
+        + ") ORDER BY event_type, q"),
+    "events_distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type""",
     "events_asof": """
 SELECT l.user_id, l.event_id, l.ts, l.value, r.value AS value_r
 FROM (SELECT * FROM events WHERE event_type = 'click') l
@@ -1154,6 +1194,9 @@ QUERIES = {
     "events_quantiles": events_quantiles,
     "events_asof": events_asof,
     "events_hopping": events_hopping,
+    "events_quantiles_by_type": events_quantiles_by_type,
+    "events_distinct_users": events_distinct_users,
+    "events_hll": events_hll,
     "tpch_pricing": tpch_pricing,
     "tpch_shipping": tpch_shipping,
     "tpch_nation_revenue": tpch_nation_revenue,
