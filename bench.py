@@ -20,6 +20,13 @@ import sys
 import time
 
 BENCH_CONVS = int(os.environ.get("WSE_BENCH_CONVS", "60000"))
+# The two parallelism levels of the N-vs-4N scaling stand-in.  Default
+# 8,32; on windows where the hypervisor delivers fewer than 32
+# effective cores (the capacity probe shows 21-26 on this shared VM),
+# "4,16" measures ENGINE scaling inside delivered capacity instead of
+# hypervisor throttling — record whichever was used in BASELINE.md.
+SCALING_LEVELS = tuple(int(x) for x in os.environ.get(
+    "WSE_SCALING_LEVELS", "8,32").split(","))
 # The scaling criterion needs enough work that the parallel compute
 # dominates constant costs (job startup, driver-side offsets/cumsum,
 # sidecar writes) at BOTH parallelism levels — a larger corpus.
@@ -186,12 +193,12 @@ def _spin_probe(dur: float) -> int:
     return n
 
 
-def _host_noise_probe() -> dict:
+def _host_noise_probe(lo: int, hi: int) -> dict:
     """~4 s probe of DELIVERED host capacity: aggregate spin throughput
-    at 1, 8 and 32 processes.  On this shared VM the hypervisor often
+    at 1, lo and hi processes.  On this shared VM the hypervisor often
     delivers only ~20-26 effective cores to 32 spinners, so
-    spin32/spin8 (the capacity the 8-vs-32 stand-in can physically
-    express, ideal 4.0) is recorded per sample pair and used to
+    spin_hi/spin_lo (the capacity the lo-vs-hi stand-in can physically
+    express, ideal hi/lo) is recorded per sample pair and used to
     capacity-normalize scaling efficiency."""
     import concurrent.futures as cf
 
@@ -203,12 +210,13 @@ def _host_noise_probe() -> dict:
                        [ex.submit(_spin_probe, 1.0) for _ in range(nproc)])
 
     single = agg(1)
-    s8 = agg(8)
-    s32 = agg(32)
-    return {"single_spin": single, "spin8_total": s8, "spin32_total": s32,
-            "spin8_ratio": round(s8 / single, 2),
-            "spin32_ratio": round(s32 / single, 2),
-            "capacity_32_over_8": round(s32 / s8, 3)}
+    s_lo = agg(lo)
+    s_hi = agg(hi)
+    return {"single_spin": single,
+            f"spin{lo}_total": s_lo, f"spin{hi}_total": s_hi,
+            f"spin{lo}_ratio": round(s_lo / single, 2),
+            f"spin{hi}_ratio": round(s_hi / single, 2),
+            "capacity_hi_over_lo": round(s_hi / s_lo, 3)}
 
 
 def main_scaling() -> None:
@@ -228,13 +236,15 @@ def main_scaling() -> None:
     # shared-VM disk drift hits both levels equally; efficiency is
     # reported on the MEDIANS, with every sample disclosed.
     import statistics
+    lo, hi = SCALING_LEVELS
+    ideal = hi / lo
     n_samples = int(os.environ.get("WSE_SCALING_SAMPLES", "3"))
-    samples: dict[int, list[float]] = {8: [], 32: []}
+    samples: dict[int, list[float]] = {lo: [], hi: []}
     details = []
     noises = []
     for s in range(n_samples):
-        noises.append(_host_noise_probe())   # capacity DURING this pair
-        for p in (8, 32):
+        noises.append(_host_noise_probe(lo, hi))  # capacity THIS pair
+        for p in (lo, hi):
             proc = subprocess.run(
                 [sys.executable, __file__, "--scaling-child", str(p)],
                 capture_output=True, text=True, timeout=3600)
@@ -244,17 +254,18 @@ def main_scaling() -> None:
             res = json.loads(proc.stdout.strip().splitlines()[-1])
             samples[p].append(res["turns_per_sec"])
             details.append({"sample": s, "cpus": p, **res})
-    med8 = statistics.median(samples[8])
-    med32 = statistics.median(samples[32])
-    eff = (med32 / med8) / 4
+    med_lo = statistics.median(samples[lo])
+    med_hi = statistics.median(samples[hi])
+    eff = (med_hi / med_lo) / ideal
     # capacity-normalized: divide by what the host actually delivered
-    # (spin32/spin8, ideal 4.0) in each sample's window — the 8-vs-32
+    # (spin_hi/spin_lo, ideal hi/lo) in each sample's window — the
     # stand-in cannot express more speedup than the hypervisor grants
-    caps = [n["capacity_32_over_8"] for n in noises]
+    caps = [n["capacity_hi_over_lo"] for n in noises]
     per_eff_norm = [round((b / a) / c, 4) for a, b, c in
-                    zip(samples[8], samples[32], caps)]
+                    zip(samples[lo], samples[hi], caps)]
     print(json.dumps({
-        "metric": "scaling_efficiency_8_to_32_cpus",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
+        "levels": [lo, hi],
         "value": round(eff, 4),
         "capacity_normalized_value": round(
             statistics.median(per_eff_norm), 4),
@@ -262,13 +273,14 @@ def main_scaling() -> None:
         "host_capacity_probes": noises,
         "scratch": os.environ.get("WSE_SCRATCH", "/dev/shm"),
         "protocol": f"median of {n_samples} interleaved samples per level; "
-                    "capacity probe (spin 1/8/32 procs) before each pair",
-        "thru_8cpu_turns_per_sec": med8,
-        "thru_32cpu_turns_per_sec": med32,
-        "samples_8cpu": samples[8],
-        "samples_32cpu": samples[32],
-        "per_sample_efficiency": [round((b / a) / 4, 4) for a, b in
-                                  zip(samples[8], samples[32])],
+                    f"capacity probe (spin 1/{lo}/{hi} procs) before "
+                    "each pair",
+        "thru_lo_turns_per_sec": med_lo,
+        "thru_hi_turns_per_sec": med_hi,
+        "samples_lo": samples[lo],
+        "samples_hi": samples[hi],
+        "per_sample_efficiency": [round((b / a) / ideal, 4) for a, b in
+                                  zip(samples[lo], samples[hi])],
         "per_sample_efficiency_capacity_normalized": per_eff_norm,
         "detail": details,
         "bench_corpus_convs": SCALING_CONVS,

@@ -578,6 +578,46 @@ def events_hopping(sf_dir: str) -> pa.Table:
                       ("event_type", "ascending")])
 
 
+VALUE_BANDS = [(0.0, 10.0, "low"), (5.0, 50.0, "mid"),
+               (50.0, 200.0, "high"), (200.0, 1000.0, "extreme")]
+DOC_SOURCES = [f"src{i}" for i in range(20)]
+
+
+def events_banded(sf_dir: str) -> pa.Table:
+    """Non-equi band join: events matched into overlapping value bands
+    (a row can land in several; unmatched rows drop)."""
+    from web_search_engine_ray.pipelines.relational import range_join
+    bands = pa.table({
+        "lo": pa.array([b[0] for b in VALUE_BANDS], pa.float64()),
+        "hi": pa.array([b[1] for b in VALUE_BANDS], pa.float64()),
+        "label": pa.array([b[2] for b in VALUE_BANDS], pa.string())})
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "value"])
+    out = range_join(ev, "value", bands, "lo", "hi", ["label"])
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")),
+                            promote_options="default") \
+        .sort_by([("event_id", "ascending"), ("label", "ascending")])
+
+
+def docs_pivot(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.relational import pivot_counts
+    return pivot_counts(_docs_ds(sf_dir, ["lang", "source"]),
+                        "lang", "source", DOC_SOURCES)
+
+
+def docs_stratified(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.sampling import stratified_sample
+    return stratified_sample(_docs_ds(sf_dir, ["doc_id", "lang", "source"]),
+                             key="lang", id_col="doc_id", n_per_group=5)
+
+
+def emb_centroids(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.vectors import label_centroids
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["label", "embedding"])
+    return label_centroids(ds, "label", "embedding")
+
+
 GROUPED_QS = [0.25, 0.5, 0.9]
 
 
@@ -1118,6 +1158,33 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "emb_centroids": """
+SELECT CAST(label AS BIGINT) AS label, CAST(ord AS BIGINT) AS ord,
+       round(avg(val), 6) AS v
+FROM (SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS ord
+      FROM embeddings)
+GROUP BY label, ord ORDER BY label, ord""",
+    "events_banded": """
+SELECT e.event_id, e.value, b.label
+FROM events e
+JOIN (VALUES (0.0, 10.0, 'low'), (5.0, 50.0, 'mid'),
+             (50.0, 200.0, 'high'), (200.0, 1000.0, 'extreme'))
+     b(lo, hi, label)
+  ON e.value >= b.lo AND e.value < b.hi
+ORDER BY e.event_id, b.label""",
+    "docs_pivot": (
+        "SELECT lang, "
+        + ", ".join(
+            f"count(*) FILTER (WHERE source = '{s}') AS {s}"
+            for s in [f"src{i}" for i in range(20)])
+        + " FROM documents GROUP BY lang ORDER BY lang"),
+    "docs_stratified": """
+SELECT doc_id, lang, source FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+ORDER BY lang, doc_id""",
     "events_quantiles_by_type": (
         "SELECT event_type, q, value FROM ("
         + " UNION ALL ".join(
@@ -1197,6 +1264,10 @@ QUERIES = {
     "events_quantiles_by_type": events_quantiles_by_type,
     "events_distinct_users": events_distinct_users,
     "events_hll": events_hll,
+    "events_banded": events_banded,
+    "docs_pivot": docs_pivot,
+    "docs_stratified": docs_stratified,
+    "emb_centroids": emb_centroids,
     "tpch_pricing": tpch_pricing,
     "tpch_shipping": tpch_shipping,
     "tpch_nation_revenue": tpch_nation_revenue,

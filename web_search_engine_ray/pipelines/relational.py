@@ -243,6 +243,80 @@ def shipping_priority_topk(customer: "ray.data.Dataset",
         .select(["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"])
 
 
+def range_join(left: "ray.data.Dataset", lcol: str, bands: pa.Table,
+               lo_col: str, hi_col: str,
+               band_cols: list[str]) -> "ray.data.Dataset":
+    """Non-equi band join: each left row matches every band with
+    ``lo <= left[lcol] < hi`` (bands may overlap — a row can emit
+    multiple matches; rows in no band drop).
+
+    The band table is the broadcast side (``ray.put`` once, read per
+    task) — the standard shape for banded/range joins whose band count
+    is small relative to the corpus.  Per batch the match is one
+    vectorized mask per band (O(n_bands x batch_rows) compares, all in
+    numpy).  A corpus-sized right side would instead need a
+    range-partitioned exchange (split band space into tiles, replicate
+    straddling bands) — out of scope until a caller needs it."""
+    for c in (lo_col, hi_col, *band_cols):
+        if c not in bands.schema.names:
+            raise ValueError(f"{c!r} not in bands: {bands.schema.names}")
+    bands_ref = ray.put(bands)
+
+    def _match(batch: pa.Table) -> pa.Table:
+        bt = ray.get(bands_ref)
+        lo = bt.column(lo_col).to_numpy().astype(np.float64)
+        hi = bt.column(hi_col).to_numpy().astype(np.float64)
+        v = batch.column(lcol).to_numpy().astype(np.float64)
+        l_idx, b_idx = [], []
+        for i in range(len(lo)):
+            hit = np.flatnonzero((v >= lo[i]) & (v < hi[i]))
+            l_idx.append(hit)
+            b_idx.append(np.full(len(hit), i, np.int64))
+        li = np.concatenate(l_idx) if l_idx else np.empty(0, np.int64)
+        bi = np.concatenate(b_idx) if b_idx else np.empty(0, np.int64)
+        lt = batch.take(pa.array(li, pa.int64()))
+        cols = {c: lt.column(c) for c in batch.schema.names}
+        for c in band_cols:
+            cols[c] = bt.column(c).take(pa.array(bi, pa.int64()))
+        return pa.table(cols)
+
+    return left.map_batches(_match, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def pivot_counts(ds: "ray.data.Dataset", row_key: str, col_key: str,
+                 categories: list[str]) -> pa.Table:
+    """Crosstab: one row per ``row_key`` value, one int64 count column
+    per category of ``col_key`` (pinned list — makes the output schema
+    static and the SQL oracle expressible as FILTER aggregates).
+
+    Per-batch combiner reduces a batch to its distinct (row, col)
+    count cells; cells stream to the driver, whose state is bounded by
+    |rows| x |categories| — the pivot contract (a pivot with unbounded
+    row cardinality is just a groupby and should stay long-form)."""
+    def _cells(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({
+            "r": batch.column(row_key), "c": batch.column(col_key)}),
+            ["r", "c"]).aggregate([([], "count_all")])
+        return pa.table({"r": g.column("r"), "c": g.column("c"),
+                         "n": g.column("count_all")})
+
+    acc: dict[tuple, int] = {}
+    for b in ds.select_columns([row_key, col_key]).map_batches(
+            _cells, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        for r, c, n in zip(b.column("r").to_pylist(),
+                           b.column("c").to_pylist(),
+                           b.column("n").to_pylist()):
+            acc[(r, c)] = acc.get((r, c), 0) + n
+    rows = sorted({r for r, _ in acc})
+    out = {row_key: pa.array(rows, pa.string())}
+    for cat in categories:
+        out[cat] = pa.array([acc.get((r, cat), 0) for r in rows],
+                            pa.int64())
+    return pa.table(out)
+
+
 def nation_revenue(region: pa.Table, nation: pa.Table,
                    customer: "ray.data.Dataset",
                    orders: "ray.data.Dataset",
