@@ -242,7 +242,14 @@ def main_scaling() -> None:
     samples: dict[int, list[float]] = {lo: [], hi: []}
     details = []
     noises = []
+    # optional cool-down between samples: sustained back-to-back builds
+    # on this shared VM degrade monotonically (burst-credit / memory-
+    # bandwidth throttling) — a gap lets the host recover so later
+    # samples measure the same machine the first one did
+    pause_s = float(os.environ.get("WSE_SCALING_PAUSE_S", "0"))
     for s in range(n_samples):
+        if s and pause_s:
+            time.sleep(pause_s)
         noises.append(_host_noise_probe(lo, hi))  # capacity THIS pair
         for p in (lo, hi):
             proc = subprocess.run(

@@ -111,3 +111,70 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     return hash_partition(u, [on], num_partitions).map_batches(
         _merge, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def _existence_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                    on: str, keep_matched: bool,
+                    num_partitions: int | None) -> "ray.data.Dataset":
+    """Shared semi/anti machinery: the right side is reduced to its
+    per-batch DISTINCT keys (combiner — the exchange ships keys, not
+    rows), both sides co-partition in one tagged-union exchange, and
+    each partition keeps left rows whose key is (semi) / is not (anti)
+    in the partition's right-key set."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ls = left.schema()
+    if on not in ls.names or on not in right.schema().names:
+        raise ValueError(f"join key {on!r} missing")
+    l_cols = [n for n in ls.names if n != on]
+    l_types = dict(zip(ls.names, ls.types))
+
+    def _pad(side: int):
+        def pad(b: pa.Table) -> pa.Table:
+            if side == 1:   # combiner: distinct keys only
+                b = pa.TableGroupBy(pa.table({on: b.column(on)}),
+                                    [on]).aggregate([])
+            n = b.num_rows
+            cols = {on: b.column(on)}
+            for c in l_cols:
+                cols[c] = b.column(c) if side == 0 else pa.nulls(
+                    n, l_types[c])
+            cols["__side"] = pa.array(np.full(n, side, np.int8))
+            return pa.table(cols)
+        return pad
+
+    u = left.map_batches(_pad(0), batch_format="pyarrow",
+                         zero_copy_batch=True).union(
+        right.map_batches(_pad(1), batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def _keep(b: pa.Table) -> pa.Table:
+        side = b.column("__side").to_numpy()
+        lt = b.filter(pa.array(side == 0)).select([on] + l_cols)
+        rkeys = b.filter(pa.array(side == 1)).column(on)
+        if rkeys.num_chunks == 0 or len(rkeys) == 0:
+            hit = pa.array(np.zeros(lt.num_rows, bool))
+        else:
+            hit = pc.is_in(lt.column(on),
+                           value_set=rkeys.combine_chunks())
+        mask = hit if keep_matched else pc.invert(hit)
+        return lt.filter(mask)
+
+    return hash_partition(u, [on], num_partitions).map_batches(
+        _keep, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def semi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              on: str, num_partitions: int | None = None
+              ) -> "ray.data.Dataset":
+    """Left rows whose key appears on the right (right dedup'd)."""
+    return _existence_join(left, right, on, True, num_partitions)
+
+
+def anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              on: str, num_partitions: int | None = None
+              ) -> "ray.data.Dataset":
+    """Left rows whose key does NOT appear on the right."""
+    return _existence_join(left, right, on, False, num_partitions)

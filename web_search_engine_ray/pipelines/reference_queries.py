@@ -611,6 +611,19 @@ def docs_stratified(sf_dir: str) -> pa.Table:
                              key="lang", id_col="doc_id", n_per_group=5)
 
 
+def orders_unfulfilled(sf_dir: str) -> pa.Table:
+    """Anti join: orders with no lineitem rows at all."""
+    from web_search_engine_ray.functions.grouping import anti_join
+    orders = _tpch(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    line = _tpch(sf_dir, "lineitem", ["l_orderkey"]) \
+        .map_batches(lambda b: b.rename_columns(["o_orderkey"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+    out = anti_join(orders, line, on="o_orderkey")
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")),
+                            promote_options="default") \
+        .sort_by([("o_orderkey", "ascending")])
+
+
 def emb_centroids(sf_dir: str) -> pa.Table:
     from web_search_engine_ray.pipelines.vectors import label_centroids
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -1158,6 +1171,11 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "orders_unfulfilled": """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey)
+ORDER BY o_orderkey""",
     "emb_centroids": """
 SELECT CAST(label AS BIGINT) AS label, CAST(ord AS BIGINT) AS ord,
        round(avg(val), 6) AS v
@@ -1268,6 +1286,7 @@ QUERIES = {
     "docs_pivot": docs_pivot,
     "docs_stratified": docs_stratified,
     "emb_centroids": emb_centroids,
+    "orders_unfulfilled": orders_unfulfilled,
     "tpch_pricing": tpch_pricing,
     "tpch_shipping": tpch_shipping,
     "tpch_nation_revenue": tpch_nation_revenue,
