@@ -81,3 +81,16 @@ def test_grouped_quantiles_single_row_groups(ray_session):
     got = grouped_quantiles(ray.data.from_arrow(t), "k", "value",
                             [0.1, 0.9])
     assert got.column("value").to_pylist() == [3.25, 3.25, 7.5, 7.5]
+
+
+def test_distinct_rows_exact(ray_session):
+    from web_search_engine_ray.pipelines.distinct import distinct_rows
+    t = _events(seed=91, n=6000, n_users=300)
+    out = distinct_rows(ray.data.from_arrow(t).repartition(9),
+                        ["etype", "user"])
+    got = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow"))) \
+        .sort_by([("etype", "ascending"), ("user", "ascending")])
+    df = t.to_pandas()[["etype", "user"]].drop_duplicates() \
+        .sort_values(["etype", "user"])
+    assert got.column("etype").to_pylist() == df["etype"].tolist()
+    assert got.column("user").to_pylist() == df["user"].tolist()

@@ -70,6 +70,24 @@ def count_distinct(ds: "ray.data.Dataset", key: str, col: str,
         .sort_by([(key, "ascending")])
 
 
+def distinct_rows(ds: "ray.data.Dataset", cols: list[str],
+                  num_partitions: int | None = None) -> "ray.data.Dataset":
+    """DISTINCT over ``cols``: per-batch distinct combiner (the
+    exchange ships unique tuples per batch, not rows), one hash
+    exchange on all columns, per-partition dedup — each tuple lives in
+    exactly one partition, so the result is globally exact."""
+    def _dedup(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(cols)
+        return pa.TableGroupBy(batch.select(cols), cols).aggregate([])
+
+    partial = ds.select_columns(cols).map_batches(
+        _dedup, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_partition(partial, cols, num_partitions).map_batches(
+        _dedup, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Pinned vectorized 64-bit finalizer (public-domain splitmix64)."""
     z = x.astype(np.uint64)

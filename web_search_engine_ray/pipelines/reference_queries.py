@@ -648,6 +648,16 @@ def events_distinct_users(sf_dir: str) -> pa.Table:
     return count_distinct(ds, "event_type", "user_id")
 
 
+def events_distinct_pairs(sf_dir: str) -> pa.Table:
+    from web_search_engine_ray.pipelines.distinct import distinct_rows
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    out = distinct_rows(ds, ["event_type", "user_id"])
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")),
+                            promote_options="default") \
+        .sort_by([("event_type", "ascending"), ("user_id", "ascending")])
+
+
 def events_hll(sf_dir: str) -> pa.Table:
     """Approximate distinct users (HLL sketch, p=14).  No SQL oracle —
     the sketch is not SQL-expressible; its error bound is pinned by
@@ -1214,6 +1224,9 @@ ORDER BY lang, doc_id""",
     "events_distinct_users": """
 SELECT event_type, count(DISTINCT user_id) AS n_distinct
 FROM events GROUP BY event_type ORDER BY event_type""",
+    "events_distinct_pairs": """
+SELECT DISTINCT event_type, user_id FROM events
+ORDER BY event_type, user_id""",
     "events_asof": """
 SELECT l.user_id, l.event_id, l.ts, l.value, r.value AS value_r
 FROM (SELECT * FROM events WHERE event_type = 'click') l
@@ -1281,6 +1294,7 @@ QUERIES = {
     "events_hopping": events_hopping,
     "events_quantiles_by_type": events_quantiles_by_type,
     "events_distinct_users": events_distinct_users,
+    "events_distinct_pairs": events_distinct_pairs,
     "events_hll": events_hll,
     "events_banded": events_banded,
     "docs_pivot": docs_pivot,
