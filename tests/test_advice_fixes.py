@@ -9,6 +9,7 @@
    set (the old LSH bucket cap silently truncated at 64 docs).
 """
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
@@ -72,3 +73,102 @@ def test_mass_duplicate_cluster_full_pair_set(ray_session, tmp_path):
     assert len(cluster) == 100 * 99 // 2
     assert (cluster.jaccard == 1.0).all()
     assert len(pairs) == len(cluster)           # distractors never pair
+
+
+# --- round-4 ADVICE regressions -------------------------------------------
+
+
+def test_hopping_partial_high_key_cardinality_no_overflow(ray_session):
+    """Round-4 ADVICE: the per-batch (window, key) pairing must not wrap
+    int64 when window starts are modern-epoch microseconds and per-batch
+    key cardinality is large (the old wk * (n_keys + 1) encoding wrapped
+    above ~5e3 keys, silently corrupting group sums)."""
+    import pyarrow.compute as pc
+
+    from web_search_engine_ray.pipelines.temporal import hopping_window_agg
+
+    n_keys = 6000
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    ts = np.full(n_keys, base, np.int64)
+    tbl = pa.table({
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+        "k": pa.array([f"key{i:05d}" for i in range(n_keys)], pa.string()),
+        "v": pa.array(np.arange(n_keys, dtype=np.float64)),
+    })
+    # one batch through the combiner: batch_size=None would still split
+    # by block, so call the op end-to-end with a single-block dataset
+    out = hopping_window_agg(
+        ray.data.from_arrow(tbl).repartition(1),
+        ts_col="ts", key="k", val_col="v",
+        window_us=3_600_000_000, slide_us=3_600_000_000)
+    got = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    got = got.sort_by("k")
+    assert got.num_rows == n_keys                 # one row per (window, key)
+    assert got.column("sum_value").to_pylist() == list(
+        np.arange(n_keys, dtype=np.float64))
+    assert pc.min(got.column("window_start")).as_py() == \
+        pc.max(got.column("window_start")).as_py()
+
+
+def test_asof_tie_col_deterministic(ray_session):
+    """Duplicate (key, ts) right rows: tie_col picks the max-value row
+    deterministically regardless of input partition order."""
+    from web_search_engine_ray.pipelines.temporal import asof_join
+
+    left = pa.table({
+        "uid": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(np.array([2_000, 2_000], "datetime64[us]"),
+                       pa.timestamp("us")),
+        "lval": pa.array([0.5, 0.7]),
+    })
+    # uid 1 has THREE right rows at the identical qualifying ts
+    right = pa.table({
+        "uid": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array(np.array([1_000, 1_000, 1_000, 1_500],
+                                "datetime64[us]"), pa.timestamp("us")),
+        "rval": pa.array([3.0, 9.0, 5.0, 4.0]),
+    })
+    for nparts in (1, 2, 3):
+        got = pa.concat_tables(list(asof_join(
+            ray.data.from_arrow(left).repartition(nparts),
+            ray.data.from_arrow(right).repartition(nparts),
+            key="uid", ts_col="ts", value_cols=["rval"],
+            tie_col="rval").iter_batches(batch_format="pyarrow")),
+            promote_options="default").sort_by("uid")
+        assert got.column("rval").to_pylist() == [9.0, 4.0]
+
+
+def test_anti_join_keeps_null_key_left_rows(ray_session):
+    """Round-4 ADVICE: a NULL join key never matches under EXISTS
+    semantics — anti keeps the row, semi drops it (the old mask left
+    nulls in place and Table.filter dropped them on BOTH paths)."""
+    from web_search_engine_ray.functions.grouping import anti_join, semi_join
+
+    left = pa.table({"k": pa.array([1, 2, None, 4], pa.int64()),
+                     "v": pa.array(["a", "b", "c", "d"], pa.string())})
+    right = pa.table({"k": pa.array([2, None], pa.int64())})
+    anti = pa.concat_tables(list(anti_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="k").iter_batches(batch_format="pyarrow"))).sort_by("v")
+    assert anti.column("v").to_pylist() == ["a", "c", "d"]
+    semi = pa.concat_tables(list(semi_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="k").iter_batches(batch_format="pyarrow"))).sort_by("v")
+    assert semi.column("v").to_pylist() == ["b"]
+
+
+def test_ngram_jaccard_pairs_size_guard(ray_session):
+    """The O(N^2) oracle cross-check refuses oversized corpora loudly."""
+    import pytest
+
+    from web_search_engine_ray.pipelines.analysis import ngram_jaccard_pairs
+
+    tbl = pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                    "text": pa.array([f"alpha beta gamma delta {i}"
+                                      for i in range(30)], pa.string())})
+    with pytest.raises(ValueError, match="max_docs"):
+        ngram_jaccard_pairs(ray.data.from_arrow(tbl), max_docs=10)
+    # under the cap it still runs; each pair shares 2 of its 4
+    # distinct shingles -> jaccard exactly 0.5 -> all C(30,2) qualify
+    out = ngram_jaccard_pairs(ray.data.from_arrow(tbl), max_docs=50)
+    assert out.num_rows == 30 * 29 // 2

@@ -156,8 +156,14 @@ def _existence_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         if rkeys.num_chunks == 0 or len(rkeys) == 0:
             hit = pa.array(np.zeros(lt.num_rows, bool))
         else:
-            hit = pc.is_in(lt.column(on),
-                           value_set=rkeys.combine_chunks())
+            # EXISTS-style equality never matches NULL: skip_nulls=True
+            # ignores a null right key, and a null LEFT key must come
+            # out False (kept by anti, dropped by semi) — the default
+            # options made it null/true and Table.filter then dropped
+            # the row on BOTH paths.
+            hit = pc.is_in(lt.column(on), options=pc.SetLookupOptions(
+                value_set=rkeys.combine_chunks(), skip_nulls=True))
+        hit = pc.fill_null(hit, False)
         mask = hit if keep_matched else pc.invert(hit)
         return lt.filter(mask)
 

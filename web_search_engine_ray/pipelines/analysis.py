@@ -598,7 +598,8 @@ def near_dup_pairs(docs: "ray.data.Dataset", docs_path: str,
 
 
 def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
-                        threshold: float = 0.5) -> pa.Table:
+                        threshold: float = 0.5,
+                        max_docs: int = 50_000) -> pa.Table:
     """Exact all-pairs word-shingle Jaccard over a SMALL corpus.
 
     Shingle sets are computed distributed (map_batches over string
@@ -606,9 +607,20 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
     the pairwise step is driver-side over the collected per-doc sets.
     The scalable variant of this operation is near_dup_pairs (MinHash
     LSH candidates + exact verification) — this function is the
-    exhaustive cross-check the oracle can also express.
+    exhaustive cross-check the oracle can also express, and it REFUSES
+    corpora above ``max_docs`` (O(N^2) driver-side pairs) rather than
+    quietly running N^2 at scale.
     """
     from web_search_engine_ray.spec import tokenize
+
+    n_docs = docs.count()
+    if n_docs > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the exhaustive small-scale oracle "
+            f"cross-check (driver-side all-pairs): corpus has {n_docs} "
+            f"docs > max_docs={max_docs}; use "
+            f"analysis.near_dup_pairs (MinHash LSH + exact verify) for "
+            f"large corpora, or raise max_docs explicitly")
 
     def shingle_sets(batch: pa.Table) -> pa.Table:
         ids, sets = [], []

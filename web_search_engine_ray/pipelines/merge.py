@@ -47,8 +47,7 @@ from web_search_engine_ray.stages.encoder import (DICTIONARY_SCHEMA,
                                                   SEGMENT_SCHEMA,
                                                   _atomic_write_parquet,
                                                   _empty_cols,
-                                                  _encoded_to_columns,
-                                                  _rows_to_encoded)
+                                                  _encoded_to_columns)
 from web_search_engine_ray.state.manifest import read_stats, write_stats
 
 _COMPAT_KEYS = ("num_buckets", "block_size", "k1", "b")
@@ -59,61 +58,81 @@ def _read_bucket(index_dir: str, bucket: int) -> "pa.Table | None":
     return pq.read_table(p) if os.path.exists(p) else None
 
 
-def _shifted(row: dict, offset: int, block_size: int) -> codec.EncodedPostings:
-    docs, tfs = codec.decode_postings(row["doc_bytes"], row["tf_bytes"],
-                                      row["n"])
-    return codec.encode_postings(docs + offset, tfs, block_size)
+def _term_bytes(views: tuple, i: int) -> bytes:
+    off, data = views
+    return bytes(data[off[i]:off[i + 1]])
 
 
 def _merge_bucket(bucket: int, base_dir: str, delta_dir: str, out_dir: str,
                   offset: int, block_size: int) -> dict:
-    """Merge one segment bucket; returns its manifest/stat row."""
+    """Merge one segment bucket; returns its manifest/stat row.
+
+    Columnar: base-only terms (the dominant set as the base grows) pass
+    through as ONE Arrow ``take`` — no decode, no per-term Python rows;
+    only delta-touched terms loop (bounded by the DELTA bucket vocab),
+    with posting bytes sliced zero-copy from the arrow buffers."""
     from web_search_engine_ray.spec import DL_SENTINEL
+    from web_search_engine_ray.stages.encoder import _binary_col_views
+    empty = pa.table(_empty_cols(), schema=SEGMENT_SCHEMA)
     bt = _read_bucket(base_dir, bucket)
     dt = _read_bucket(delta_dir, bucket)
+    bt = empty if bt is None else bt.cast(SEGMENT_SCHEMA)
+    dt = empty if dt is None else dt.cast(SEGMENT_SCHEMA)
+    b_terms = np.asarray(bt.column("term").to_pylist(), dtype=object)
+    d_terms = np.asarray(dt.column("term").to_pylist(), dtype=object)
+    in_both_b = np.isin(b_terms, d_terms)
+    in_both_d = np.isin(d_terms, b_terms)
+    base_only = bt.take(pa.array(np.flatnonzero(~in_both_b), pa.int64()))
+    n_postings = int(np.sum(base_only.column("n").to_numpy())) \
+        if base_only.num_rows else 0
     cols = _empty_cols()
-    b_rows = bt.to_pylist() if bt is not None else []
-    d_rows = dt.to_pylist() if dt is not None else []
-    i = j = 0
-    n_postings = 0
-    while i < len(b_rows) or j < len(d_rows):
-        if j >= len(d_rows) or (i < len(b_rows)
-                                and b_rows[i]["term"] < d_rows[j]["term"]):
-            r = b_rows[i]
-            # base-only term: pass the encoded row through untouched
-            for name in SEGMENT_SCHEMA.names:
-                cols[name].append(r[name] if name != "bucket" else bucket)
-            n_postings += r["n"]
-            i += 1
-            continue
-        if i >= len(b_rows) or d_rows[j]["term"] < b_rows[i]["term"]:
-            r = d_rows[j]
-            enc = _shifted(r, offset, block_size)
-            _encoded_to_columns(r["term"], bucket, 0, enc, cols)
-            cols["cf"][-1] = r["cf"]
+    if dt.num_rows:
+        d_n = dt.column("n").to_numpy()
+        d_cf = dt.column("cf").to_numpy()
+        d_doc = _binary_col_views(dt.column("doc_bytes"))
+        d_tf = _binary_col_views(dt.column("tf_bytes"))
+        # delta-only terms: decode, +offset the doc ids, re-encode
+        for j in np.flatnonzero(~in_both_d):
+            docs, tfs = codec.decode_postings(
+                _term_bytes(d_doc, j), _term_bytes(d_tf, j), int(d_n[j]))
+            enc = codec.encode_postings(docs + offset, tfs, block_size)
+            _encoded_to_columns(d_terms[j], bucket, 0, enc, cols)
+            cols["cf"][-1] = int(d_cf[j])
             n_postings += enc.n
-            j += 1
-            continue
-        rb, rd = b_rows[i], d_rows[j]
-        docs_b, tfs_b = codec.decode_postings(rb["doc_bytes"],
-                                              rb["tf_bytes"], rb["n"])
-        docs_d, tfs_d = codec.decode_postings(rd["doc_bytes"],
-                                              rd["tf_bytes"], rd["n"])
-        enc = codec.encode_postings(
-            np.concatenate([docs_b, docs_d + offset]),
-            np.concatenate([tfs_b, tfs_d]), block_size)
-        _encoded_to_columns(rb["term"], bucket, 0, enc, cols)
-        cols["cf"][-1] = rb["cf"] + rd["cf"]
-        n_postings += enc.n
-        i += 1
-        j += 1
-    seg_tbl = pa.table(cols, schema=SEGMENT_SCHEMA)
+        # terms in both: decode both sides, concatenate (base docs <
+        # offset <= shifted delta docs keeps the stream sorted), re-encode
+        if in_both_b.any():
+            b_n = bt.column("n").to_numpy()
+            b_cf = bt.column("cf").to_numpy()
+            b_doc = _binary_col_views(bt.column("doc_bytes"))
+            b_tf = _binary_col_views(bt.column("tf_bytes"))
+            for i, j in zip(np.flatnonzero(in_both_b),
+                            np.flatnonzero(in_both_d)):
+                docs_b, tfs_b = codec.decode_postings(
+                    _term_bytes(b_doc, i), _term_bytes(b_tf, i), int(b_n[i]))
+                docs_d, tfs_d = codec.decode_postings(
+                    _term_bytes(d_doc, j), _term_bytes(d_tf, j), int(d_n[j]))
+                enc = codec.encode_postings(
+                    np.concatenate([docs_b, docs_d + offset]),
+                    np.concatenate([tfs_b, tfs_d]), block_size)
+                _encoded_to_columns(b_terms[i], bucket, 0, enc, cols)
+                cols["cf"][-1] = int(b_cf[i]) + int(d_cf[j])
+                n_postings += enc.n
+    changed = pa.table(cols, schema=SEGMENT_SCHEMA)
+    seg_tbl = pa.concat_tables([base_only, changed]).combine_chunks()
+    if seg_tbl.num_rows:
+        # restore the file's sorted-by-term order (utf8 bytewise ==
+        # code-point order for these token strings; terms are unique
+        # across the three disjoint subsets, so the order is total)
+        seg_tbl = seg_tbl.take(pa.compute.sort_indices(
+            seg_tbl, sort_keys=[("term", "ascending")]))
     _atomic_write_parquet(seg_tbl, os.path.join(
         out_dir, "segments", f"bucket={bucket}.parquet"))
     dl_sum = dl_min = 0
     real = seg_tbl
-    if cols["term"] and cols["term"][0] == DL_SENTINEL:
-        dls = codec.varbyte_decode(cols["tf_bytes"][0], cols["n"][0])
+    if seg_tbl.num_rows and seg_tbl.column("term")[0].as_py() == DL_SENTINEL:
+        dls = codec.varbyte_decode(seg_tbl.column("tf_bytes")[0].as_py(),
+                                   int(seg_tbl.column("n")[0].as_py()))
         dl_sum = int(dls.sum())
         dl_min = int(dls.min())
         real = seg_tbl.slice(1)

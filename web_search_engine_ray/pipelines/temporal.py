@@ -6,9 +6,12 @@ hopping (sliding) window aggregation.
   semantics, inner form).  Distributed shape: ONE tagged-union hash
   exchange on the key (both sides co-partitioned, reusing the
   hash_partition complete-groups contract), then a per-partition
-  vectorized pass — lexsort by (key, ts), one np.searchsorted per
-  key run.  No driver-side state; ties on right.ts resolve to the
-  LAST right row in (ts, tie_col) order, matching DuckDB.
+  vectorized pass — one lexsort by (key, ts, side) + a cumsum scan
+  over right-row markers.  No driver-side state.  When several right
+  rows share a (key, ts), pass ``tie_col`` (a numeric right column)
+  to pick the max-``tie_col`` row deterministically; without it the
+  winner among exact (key, ts) right duplicates is partition-order
+  dependent (same caveat as DuckDB ASOF over duplicate timestamps).
 - ``hopping_window_agg`` — fixed windows of size W every S (< W means
   overlapping windows; W == S degenerates to tumbling).  Each batch
   expands rows into their W/S covering windows VECTORIZED (repeat +
@@ -38,10 +41,16 @@ from web_search_engine_ray.functions.grouping import (group_slices,
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               key: str, ts_col: str, value_cols: list[str],
               suffix: str = "_r",
-              num_partitions: int | None = None) -> "ray.data.Dataset":
+              num_partitions: int | None = None,
+              tie_col: str | None = None) -> "ray.data.Dataset":
     """Inner as-of join: each left row gains ``value_cols`` from the
     latest right row with the same ``key`` and ``right.ts <= left.ts``;
-    left rows with no qualifying right row are dropped."""
+    left rows with no qualifying right row are dropped.
+
+    ``tie_col`` (optional, must be one of ``value_cols``, numeric):
+    among right rows with EQUAL (key, ts) the max-``tie_col`` row wins
+    deterministically; without it that winner depends on partition
+    order (exact-duplicate right timestamps only)."""
     ls, rs = left.schema(), right.schema()
     for c in (key, ts_col):
         if c not in ls.names or c not in rs.names:
@@ -49,6 +58,8 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     missing = [c for c in value_cols if c not in rs.names]
     if missing:
         raise ValueError(f"value_cols not on right side: {missing}")
+    if tie_col is not None and tie_col not in value_cols:
+        raise ValueError("tie_col must be one of value_cols")
     l_keep = [n for n in ls.names if n != key]
     ren = {c: (c + suffix if c in ls.names else c) for c in value_cols}
     r_types = dict(zip(rs.names, rs.types))
@@ -88,14 +99,24 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         keys = b.column(key)
         ts = b.column(ts_col).to_numpy().astype("datetime64[us]") \
             .astype(np.int64)
-        # one lexsort: (key, ts, side) — right rows (side=1) sort AFTER
-        # an equal-ts left row, so searchsorted('right') - 1 picks the
-        # right row at ts == left.ts (inclusive bound), and among
-        # equal-ts right rows the LAST wins
+        # one lexsort: (key, ts, side[, tie]) — RIGHT rows (1-side == 0)
+        # sort BEFORE an equal-ts left row, so the cumsum scan below
+        # (nearest PRECEDING right marker) sees a right row at
+        # ts == left.ts, making the ts <= bound inclusive.  Among
+        # equal-(key, ts) right rows the LAST in sort order wins: with
+        # tie_col that is the max-tie_col row (lexsort ascending);
+        # without, lexsort is stable so it is the last in partition
+        # order (documented nondeterminism).
         enc = pc.dictionary_encode(keys)
         kcode = np.asarray(enc.combine_chunks().indices.to_numpy(
             zero_copy_only=False), np.int64)
-        order = np.lexsort((1 - side, ts, kcode))
+        if tie_col is not None:
+            tie = np.asarray(pc.fill_null(
+                b.column(ren[tie_col]), 0).to_numpy(
+                zero_copy_only=False), np.float64)
+            order = np.lexsort((tie, 1 - side, ts, kcode))
+        else:
+            order = np.lexsort((1 - side, ts, kcode))
         kc, sd = kcode[order], side[order]
         starts, ends = group_slices([kc])
         # vectorized across the whole partition: for each left row the
@@ -161,12 +182,20 @@ def hopping_window_agg(ds: "ray.data.Dataset", ts_col: str, key: str,
         kcode = np.asarray(enc.combine_chunks().indices.to_numpy(
             zero_copy_only=False), np.int64)[rows]
         uniq = enc.combine_chunks().dictionary
-        comb = wk * (len(uniq) + 1) + kcode
+        # factorize the window starts FIRST: pairing the raw
+        # microsecond value (~1.7e15 for current dates) with the key
+        # code would silently wrap int64 above ~5e3 keys per batch;
+        # pairing two small batch-local codes cannot (both are bounded
+        # by the batch's expanded row count, product << 2^63)
+        uwk, wcode = np.unique(wk, return_inverse=True)
+        stride = np.int64(len(uniq) + 1)
+        assert len(uwk) < np.iinfo(np.int64).max // max(stride, 1)
+        comb = wcode.astype(np.int64) * stride + kcode
         ucomb, inv = np.unique(comb, return_inverse=True)
         sums = np.bincount(inv, weights=vals)
         ns = np.bincount(inv)
-        out_w = ucomb // (len(uniq) + 1)
-        out_k = (ucomb % (len(uniq) + 1)).astype(np.int64)
+        out_w = uwk[ucomb // stride]
+        out_k = (ucomb % stride).astype(np.int64)
         return pa.table({
             "window_start": pa.array(out_w, pa.int64()),
             key: uniq.take(pa.array(out_k, pa.int64())),
