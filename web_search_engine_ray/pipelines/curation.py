@@ -235,39 +235,91 @@ def phrase_regex(phrase: str) -> str:
     return ("(^|[^a-z0-9])" + "[^a-z0-9]+".join(terms) + "([^a-z0-9]|$)")
 
 
+# shard the stage-1 posting intersection past this many candidate
+# postings; each shard handles ~_CAND_SHARD_POSTINGS of the phrase's
+# rarest-term postings (mirrors scorer.HEAVY_POSTINGS discipline)
+_CAND_SHARD_POSTINGS = 500_000
+
+
+@ray.remote
+def _phrase_cand_shard(index_dir: str, pid: int, terms: list[str],
+                       lo: int, hi: int) -> tuple[int, np.ndarray]:
+    """Conjunctive posting intersection for ONE phrase restricted to
+    doc_ids in [lo, hi) — runs in a worker over the per-worker-process
+    IndexReader singleton; only the posting blocks intersecting the
+    range decode (decoded_range).  Terms arrive rarest-first so the
+    running candidate set shrinks as fast as possible."""
+    from web_search_engine_ray.stages.scorer import _worker_reader
+    reader = _worker_reader(index_dir, None)
+    ids: np.ndarray | None = None
+    for term in terms:
+        pair = reader.decoded_range(term, lo, hi)
+        if pair is None or len(pair[0]) == 0:
+            return pid, np.empty(0, np.int64)
+        docs = pair[0]
+        ids = docs if ids is None \
+            else ids[np.isin(ids, docs, assume_unique=True)]
+        if len(ids) == 0:
+            break
+    return pid, np.asarray(ids, np.int64)
+
+
 def phrase_search(index_dir: str, docs: "ray.data.Dataset",
-                  phrases: list[tuple[int, str]]) -> pa.Table:
+                  phrases: list[tuple[int, str]],
+                  max_shards: int | None = None) -> pa.Table:
     """Exact phrase match: (phrase_id, doc_id) for every doc whose token
     stream contains the phrase's tokens consecutively.
 
     Stage 1 (index): conjunctive intersection of the phrase terms'
-    posting lists — lossless pruning (adjacency implies conjunction).
+    posting lists — lossless pruning (adjacency implies conjunction) —
+    runs DISTRIBUTED: per-phrase doc-range shard tasks intersect
+    rarest-term-first inside workers (decoded_range decodes only each
+    shard's posting blocks), so no posting list is ever decoded on the
+    driver and per-task memory is bounded by a shard's postings, not a
+    hot term's df.  The driver holds dictionary metadata (term -> df,
+    for shard planning) and the returned candidate doc_id arrays only.
     Stage 2 (verify): ONE candidate-filtered streaming pass over the
     corpus; each batch checks only the phrases whose candidate set hits
-    it, with regexes compiled once per task.  Driver state = candidate
-    doc_id arrays (skinny, output-bounded); texts never leave workers.
+    it, with regexes compiled once per task.  Texts never leave workers.
 
     Scale note: a positional postings stream would replace stage 2's
-    text fetch with position-list adjacency checks; candidate-filtered
-    verification is the standard non-positional fallback and touches
-    only |candidates| docs."""
-    from web_search_engine_ray.stages.scorer import IndexReader
+    text fetch with position-list adjacency checks (see
+    pipelines/positional.py); candidate-filtered verification is the
+    standard non-positional fallback and touches only |candidates|
+    docs."""
     from web_search_engine_ray.spec import tokenize
-    reader = IndexReader(index_dir)
-    cand: dict[int, np.ndarray] = {}
+    from web_search_engine_ray.stages.scorer import Dictionary
+    from web_search_engine_ray.state.manifest import read_stats
+    # driver side: dictionary METADATA lookups only (df per term — the
+    # shard planner's input); posting decode happens in the tasks
+    dictionary = Dictionary.load(index_dir)
+    n_docs = int(read_stats(index_dir)["max_doc_id"]) + 1
+    if max_shards is None:
+        max_shards = max(1, int(ray.cluster_resources().get("CPU", 4)))
+    refs = []
     for pid, phrase in phrases:
-        ids = None
-        for term in sorted(set(tokenize(phrase))):
-            dec = reader.decoded(term)
-            if dec is None:
-                ids = np.empty(0, np.int64)
-                break
-            ids = dec[0] if ids is None else np.intersect1d(
-                ids, dec[0], assume_unique=True)
-            if len(ids) == 0:
-                break
-        if ids is not None and len(ids):
-            cand[pid] = ids.astype(np.int64)
+        terms = sorted(set(tokenize(phrase)))
+        entries = [dictionary.get(t) for t in terms]
+        if not terms or any(e is None for e in entries):
+            continue                      # a missing term matches nothing
+        # rarest term first: the first decode bounds the candidate set
+        order = np.argsort([e[1] for e in entries], kind="stable")
+        terms = [terms[i] for i in order]
+        min_df = entries[order[0]][1]
+        n_shards = int(min(max_shards,
+                           max(1, min_df // _CAND_SHARD_POSTINGS)))
+        bounds = np.linspace(0, n_docs, n_shards + 1).astype(np.int64)
+        refs.extend(_phrase_cand_shard.remote(
+            index_dir, pid, terms, int(bounds[i]), int(bounds[i + 1]))
+            for i in range(n_shards))
+    cand: dict[int, list[np.ndarray]] = {}
+    for pid, ids in ray.get(refs):
+        if len(ids):
+            # disjoint ascending doc ranges -> per-phrase concatenation
+            # stays sorted-unique (shards arrive in range order)
+            cand.setdefault(pid, []).append(ids)
+    cand: dict[int, np.ndarray] = {
+        pid: np.concatenate(parts) for pid, parts in cand.items()}
     empty = pa.table({"phrase_id": pa.array([], pa.int64()),
                       "doc_id": pa.array([], pa.int64())})
     if not cand:

@@ -86,16 +86,141 @@ class Dictionary:
         return len(self.terms)
 
 
+SHARDED_DICT_DIRNAME = "dictionary_sharded"
+
+
+def build_sharded_dictionary(index_dir: str,
+                             rows_per_shard: int = 262_144) -> dict:
+    """Re-shard the bucket-hashed dictionary into TERM-RANGE shard files
+    (``dictionary_sharded/shard-*.parquet``, globally term-sorted, plus
+    a ``_manifest.json`` of per-shard [first_term, last_term, n, path]).
+
+    This is the extreme-vocab form Dictionary's docstring promises: a
+    reader then loads only the shards its queries touch (O(query terms)
+    shards in memory per actor) instead of materializing the whole
+    vocab.  Build shape: ONE Ray Data range sort over the dictionary
+    rows, order-preserving repartition to ~rows_per_shard blocks, then
+    a per-block atomic shard write — block ranges are disjoint by the
+    sort's range partitioning, so shard boundaries never overlap."""
+    import json
+    import math
+
+    src = os.path.join(index_dir, "dictionary")
+    out = os.path.join(index_dir, SHARDED_DICT_DIRNAME)
+    os.makedirs(out, exist_ok=True)
+    import ray
+    import ray.data
+    ds = ray.data.read_parquet(
+        src, columns=["term", "bucket", "df", "cf", "max_tf"])
+    total = ds.count()
+    n_shards = max(1, math.ceil(total / rows_per_shard))
+
+    def _write_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first_term": pa.array([], pa.string()),
+                             "last_term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "path": pa.array([], pa.string())})
+        import hashlib as _h
+        batch = batch.sort_by("term")      # in-block order (range-disjoint)
+        first = batch.column("term")[0].as_py()
+        last = batch.column("term")[-1].as_py()
+        name = f"shard-{_h.sha1(first.encode()).hexdigest()[:12]}.parquet"
+        path = os.path.join(out, name)
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(batch, tmp, compression="zstd")
+        os.replace(tmp, path)
+        return pa.table({"first_term": pa.array([first], pa.string()),
+                         "last_term": pa.array([last], pa.string()),
+                         "n": pa.array([batch.num_rows], pa.int64()),
+                         "path": pa.array([name], pa.string())})
+
+    rows = (ds.sort("term").repartition(n_shards)
+            .map_batches(_write_shard, batch_size=None,
+                         batch_format="pyarrow", zero_copy_batch=True)
+            .take_all())
+    shards = sorted((dict(r) for r in rows if r["n"]),
+                    key=lambda r: r["first_term"])
+    manifest = {"n_terms": int(sum(r["n"] for r in shards)),
+                "shards": shards}
+    mpath = os.path.join(out, "_manifest.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(mpath + ".tmp", mpath)
+    return manifest
+
+
+class ShardedDictionary:
+    """Term-range-sharded dictionary: same lookup surface as
+    ``Dictionary`` (get / __contains__ / __getitem__ / __len__, binary
+    search by term) but only the shards actually touched are resident —
+    a 10^9-term vocab costs each actor O(touched shards), not O(vocab).
+    Lookup: binary search the manifest's first_term boundaries, load
+    that one shard (bounded LRU-ish cache), binary search inside it."""
+
+    def __init__(self, index_dir: str, max_loaded_shards: int = 16):
+        import json
+        self._dir = os.path.join(index_dir, SHARDED_DICT_DIRNAME)
+        with open(os.path.join(self._dir, "_manifest.json")) as f:
+            m = json.load(f)
+        self._shards = m["shards"]
+        self._n_terms = int(m["n_terms"])
+        self._firsts = np.asarray([s["first_term"] for s in self._shards],
+                                  dtype=object)
+        self._lasts = [s["last_term"] for s in self._shards]
+        self._loaded: dict[int, Dictionary] = {}
+        self._max_loaded = max_loaded_shards
+
+    def _shard_for(self, term: str) -> int:
+        if not len(self._firsts):
+            return -1
+        i = int(np.searchsorted(self._firsts, term, side="right")) - 1
+        if i < 0 or term > self._lasts[i]:
+            return -1
+        return i
+
+    def _shard(self, i: int) -> Dictionary:
+        d = self._loaded.get(i)
+        if d is None:
+            if len(self._loaded) >= self._max_loaded:
+                self._loaded.clear()
+            tbl = pq.read_table(
+                os.path.join(self._dir, self._shards[i]["path"]))
+            d = self._loaded[i] = Dictionary(tbl)
+        return d
+
+    def get(self, term: str, default=None):
+        i = self._shard_for(term)
+        if i < 0:
+            return default
+        return self._shard(i).get(term, default)
+
+    def __contains__(self, term: str) -> bool:
+        return self.get(term) is not None
+
+    def __getitem__(self, term: str):
+        v = self.get(term)
+        if v is None:
+            raise KeyError(term)
+        return v
+
+    def __len__(self) -> int:
+        return self._n_terms
+
+
 class IndexReader:
     """Opens an index dir once (per QueryScorer actor): dictionary,
     corpus stats, doc_len array, lazy per-bucket segment tables + an
-    in-actor posting cache.  Scale note: at 10^12 docs the doc_len array
-    and dictionary become doc-sharded / filtered parquet reads; the
+    in-actor posting cache.  ``dict_mode="sharded"`` swaps the full
+    in-memory vocab for the on-demand ShardedDictionary (requires a
+    prior build_sharded_dictionary run).  Scale note: at 10^12 docs the
+    doc_len array becomes doc-sharded / filtered parquet reads; the
     segment access pattern (columnar row lookup by sorted term) holds.
     """
 
     def __init__(self, index_dir: str, max_cached_terms: int = 4096,
-                 shared: "dict | ray.ObjectRef | None" = None):
+                 shared: "dict | ray.ObjectRef | None" = None,
+                 dict_mode: str = "full"):
         """shared: optional object-store handle from ``share_index`` —
         dictionary / doc_lens / segment tables are then zero-copy plasma
         views instead of per-actor disk reads (broadcast-once pattern:
@@ -120,8 +245,10 @@ class IndexReader:
             self._shared_decoded = dict(shared.get("decoded", {}))
         else:
             self._shared_segments = None
-            # sorted Arrow-native dictionary, binary-search lookups
-            self.dictionary = Dictionary.load(index_dir)
+            # sorted Arrow-native dictionary, binary-search lookups;
+            # "sharded" keeps only touched term-range shards resident
+            self.dictionary = ShardedDictionary(index_dir) \
+                if dict_mode == "sharded" else Dictionary.load(index_dir)
             # dense doc_len array from the DL_SENTINEL posting list
             # (first row of its bucket file — '\x00' sorts before any
             # real term)
