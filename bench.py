@@ -193,26 +193,28 @@ def _spin_probe(dur: float) -> int:
     return n
 
 
-def _host_noise_probe(lo: int, hi: int) -> dict:
-    """~4 s probe of DELIVERED host capacity: aggregate spin throughput
-    at 1, lo and hi processes.  On this shared VM the hypervisor often
-    delivers only ~20-26 effective cores to 32 spinners, so
-    spin_hi/spin_lo (the capacity the lo-vs-hi stand-in can physically
-    express, ideal hi/lo) is recorded per sample pair and used to
-    capacity-normalize scaling efficiency."""
+def _host_capacity_probe(lo: int, hi: int, dur: float = 1.0) -> dict:
+    """Probe of DELIVERED host capacity: aggregate spin throughput at
+    1, lo and hi processes, each spinning for ``dur`` seconds.  On this
+    shared VM the hypervisor often delivers only ~20-26 effective cores
+    to 32 spinners, so spin_hi/spin_lo (the speedup the lo-vs-hi
+    stand-in can physically express; ideal hi/lo) is recorded per
+    window, used to GATE window acceptance (sustained probe) and to
+    capacity-normalize efficiency."""
     import concurrent.futures as cf
 
     def agg(nproc: int) -> int:
         if nproc == 1:
-            return _spin_probe(1.0)
+            return _spin_probe(dur)
         with cf.ProcessPoolExecutor(max_workers=nproc) as ex:
             return sum(f.result() for f in
-                       [ex.submit(_spin_probe, 1.0) for _ in range(nproc)])
+                       [ex.submit(_spin_probe, dur) for _ in range(nproc)])
 
     single = agg(1)
     s_lo = agg(lo)
     s_hi = agg(hi)
-    return {"single_spin": single,
+    return {"probe_dur_s": dur,
+            "single_spin": single,
             f"spin{lo}_total": s_lo, f"spin{hi}_total": s_hi,
             f"spin{lo}_ratio": round(s_lo / single, 2),
             f"spin{hi}_ratio": round(s_hi / single, 2),
@@ -220,76 +222,140 @@ def _host_noise_probe(lo: int, hi: int) -> dict:
 
 
 def main_scaling() -> None:
-    # generate the corpus up front so both children read identical input
+    """Round-4 protocol (VERDICT_r03 ask #1) — built to MEASURE scaling
+    despite the diagnosed shared-host sustained-load throttling instead
+    of re-running into it:
+
+    - FIRST-sample-per-window: each widely-spaced window contributes
+      exactly ONE fresh-process pair (the round-3 data shows the first
+      sample of an idle window is the honest estimator; later
+      back-to-back samples decay monotonically under host throttling).
+    - randomized level order per window (seeded): hi-before-lo in half
+      the windows controls the decay direction instead of always
+      penalizing whichever level runs second.
+    - sustained capacity gate: a window is only ACCEPTED if a
+      ``WSE_SCALING_PROBE_S``-second (default 6 s/level, 3 levels)
+      spin probe shows the host can currently express at least
+      ``WSE_SCALING_MIN_CAP`` (default 0.82 * ideal) speedup hi-vs-lo;
+      otherwise sleep ``WSE_SCALING_RETRY_SLEEP_S`` and re-probe, up to
+      ``WSE_SCALING_GATE_RETRIES`` times, then record the window as
+      rejected (disclosed, not silently dropped).
+    - cool-down ``WSE_SCALING_PAUSE_S`` (default 150 s) between windows
+      and ``WSE_SCALING_LEVEL_PAUSE_S`` (default 45 s) between the two
+      builds of a window.
+
+    Efficiency = median over accepted windows of
+    (thru_hi / thru_lo) / (hi / lo).  Runs until
+    ``WSE_SCALING_WINDOWS`` (default 3) windows are accepted or
+    ``WSE_SCALING_MAX_WINDOWS`` (default 6) were attempted."""
+    import random
+    import statistics
+
+    # generate the corpus up front so every child reads identical input
     _init_ray(NUM_CPUS)
     path = ensure_corpus(SCALING_CONVS)
     import ray
     ray.shutdown()
     # warm the page cache over the corpus once so the FIRST child is not
-    # penalized with cold reads the second child never pays
+    # penalized with cold reads later children never pay
     import glob
     for f in glob.glob(os.path.join(path, "*.parquet")):
         with open(f, "rb") as fh:
             while fh.read(1 << 24):
                 pass
-    # median-of-N protocol (BASELINE.md): samples interleave 8 and 32 so
-    # shared-VM disk drift hits both levels equally; efficiency is
-    # reported on the MEDIANS, with every sample disclosed.
-    import statistics
     lo, hi = SCALING_LEVELS
     ideal = hi / lo
-    n_samples = int(os.environ.get("WSE_SCALING_SAMPLES", "3"))
-    samples: dict[int, list[float]] = {lo: [], hi: []}
-    details = []
-    noises = []
-    # optional cool-down between samples: sustained back-to-back builds
-    # on this shared VM degrade monotonically (burst-credit / memory-
-    # bandwidth throttling) — a gap lets the host recover so later
-    # samples measure the same machine the first one did
-    pause_s = float(os.environ.get("WSE_SCALING_PAUSE_S", "0"))
-    for s in range(n_samples):
-        if s and pause_s:
+    want = int(os.environ.get("WSE_SCALING_WINDOWS", "3"))
+    max_windows = int(os.environ.get("WSE_SCALING_MAX_WINDOWS", "6"))
+    pause_s = float(os.environ.get("WSE_SCALING_PAUSE_S", "150"))
+    level_pause_s = float(os.environ.get("WSE_SCALING_LEVEL_PAUSE_S", "45"))
+    probe_s = float(os.environ.get("WSE_SCALING_PROBE_S", "6"))
+    min_cap = float(os.environ.get("WSE_SCALING_MIN_CAP",
+                                   str(round(0.82 * ideal, 3))))
+    gate_retries = int(os.environ.get("WSE_SCALING_GATE_RETRIES", "3"))
+    retry_sleep = float(os.environ.get("WSE_SCALING_RETRY_SLEEP_S", "60"))
+    rng = random.Random(20260818)
+    windows = []
+    accepted = []
+    w = 0
+    while len(accepted) < want and w < max_windows:
+        if w:
             time.sleep(pause_s)
-        noises.append(_host_noise_probe(lo, hi))  # capacity THIS pair
-        for p in (lo, hi):
+        # sustained capacity gate for THIS window
+        probes = []
+        ok = False
+        for attempt in range(gate_retries + 1):
+            p = _host_capacity_probe(lo, hi, dur=probe_s)
+            probes.append(p)
+            if p["capacity_hi_over_lo"] >= min_cap:
+                ok = True
+                break
+            if attempt < gate_retries:
+                time.sleep(retry_sleep)
+        rec = {"window": w, "gate_probes": probes, "gate_ok": ok,
+               "min_cap": min_cap}
+        w += 1
+        if not ok:
+            rec["status"] = "rejected_by_gate"
+            windows.append(rec)
+            continue
+        order = [lo, hi]
+        rng.shuffle(order)
+        rec["order"] = list(order)
+        thru = {}
+        fail = None
+        for i, pcpus in enumerate(order):
+            if i:
+                time.sleep(level_pause_s)
             proc = subprocess.run(
-                [sys.executable, __file__, "--scaling-child", str(p)],
+                [sys.executable, __file__, "--scaling-child", str(pcpus)],
                 capture_output=True, text=True, timeout=3600)
             if proc.returncode != 0:
                 sys.stderr.write(proc.stderr[-4000:])
-                raise SystemExit(f"scaling child {p} failed")
+                fail = f"scaling child {pcpus} failed"
+                break
             res = json.loads(proc.stdout.strip().splitlines()[-1])
-            samples[p].append(res["turns_per_sec"])
-            details.append({"sample": s, "cpus": p, **res})
-    med_lo = statistics.median(samples[lo])
-    med_hi = statistics.median(samples[hi])
-    eff = (med_hi / med_lo) / ideal
-    # capacity-normalized: divide by what the host actually delivered
-    # (spin_hi/spin_lo, ideal hi/lo) in each sample's window — the
-    # stand-in cannot express more speedup than the hypervisor grants
-    caps = [n["capacity_hi_over_lo"] for n in noises]
-    per_eff_norm = [round((b / a) / c, 4) for a, b, c in
-                    zip(samples[lo], samples[hi], caps)]
+            thru[pcpus] = res["turns_per_sec"]
+            rec[f"detail_{pcpus}"] = res
+        if fail:
+            rec["status"] = "child_failed"
+            rec["error"] = fail
+            windows.append(rec)
+            continue
+        cap = probes[-1]["capacity_hi_over_lo"]
+        rec["status"] = "accepted"
+        rec["thru_lo"] = thru[lo]
+        rec["thru_hi"] = thru[hi]
+        rec["efficiency_raw"] = round((thru[hi] / thru[lo]) / ideal, 4)
+        rec["efficiency_capacity_normalized"] = round(
+            (thru[hi] / thru[lo]) / cap, 4)
+        windows.append(rec)
+        accepted.append(rec)
+    if not accepted:
+        raise SystemExit("no scaling window passed the capacity gate; "
+                         "host too contended — retry later")
+    effs = [r["efficiency_raw"] for r in accepted]
+    effs_norm = [r["efficiency_capacity_normalized"] for r in accepted]
     print(json.dumps({
         "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
         "levels": [lo, hi],
-        "value": round(eff, 4),
-        "capacity_normalized_value": round(
-            statistics.median(per_eff_norm), 4),
+        "value": round(statistics.median(effs), 4),
+        "capacity_normalized_value": round(statistics.median(effs_norm), 4),
         "unit": "ratio",
-        "host_capacity_probes": noises,
         "scratch": os.environ.get("WSE_SCRATCH", "/dev/shm"),
-        "protocol": f"median of {n_samples} interleaved samples per level; "
-                    f"capacity probe (spin 1/{lo}/{hi} procs) before "
-                    "each pair",
-        "thru_lo_turns_per_sec": med_lo,
-        "thru_hi_turns_per_sec": med_hi,
-        "samples_lo": samples[lo],
-        "samples_hi": samples[hi],
-        "per_sample_efficiency": [round((b / a) / ideal, 4) for a, b in
-                                  zip(samples[lo], samples[hi])],
-        "per_sample_efficiency_capacity_normalized": per_eff_norm,
-        "detail": details,
+        "protocol": (
+            f"first-sample-per-window, {len(accepted)} accepted windows "
+            f"(of {w} attempted), randomized level order, sustained "
+            f"{probe_s:.0f}s/level capacity gate >= {min_cap} "
+            f"(spin hi/lo), {pause_s:.0f}s window cool-down, "
+            f"{level_pause_s:.0f}s between levels"),
+        "thru_lo_turns_per_sec": statistics.median(
+            [r["thru_lo"] for r in accepted]),
+        "thru_hi_turns_per_sec": statistics.median(
+            [r["thru_hi"] for r in accepted]),
+        "per_window_efficiency": effs,
+        "per_window_efficiency_capacity_normalized": effs_norm,
+        "windows": windows,
         "bench_corpus_convs": SCALING_CONVS,
     }))
 

@@ -57,9 +57,11 @@ def group_slices(sort_cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
 
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               on: str, num_partitions: int | None = None,
-              suffix: str = "_r") -> "ray.data.Dataset":
-    """Inner hash join as ONE exchange: tag each side, union, hash-
-    partition on the key, then a per-partition pyarrow (acero) join.
+              suffix: str = "_r", how: str = "inner") -> "ray.data.Dataset":
+    """Hash join (``how`` = "inner" | "left", i.e. LEFT OUTER: left rows
+    with no match keep null right columns) as ONE exchange: tag each
+    side, union, hash-partition on the key, then a per-partition
+    pyarrow (acero) join.
 
     Exists because Dataset.join's aggregator crashes on EMPTY hash
     partitions (pyarrow FieldRef "no match" on a schemaless block) —
@@ -72,6 +74,9 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     """
     import pyarrow as pa
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    join_type = "inner" if how == "inner" else "left outer"
     ls, rs = left.schema(), right.schema()
     if on not in ls.names or on not in rs.names:
         raise ValueError(f"join key {on!r} missing: {ls.names} / {rs.names}")
@@ -106,7 +111,7 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         lt = b.filter(pa.array(side == 0)).select([on] + l_only)
         rt = b.filter(pa.array(side == 1)).select(
             [on] + [ren[c] for c in r_only])
-        return lt.join(rt, keys=on, join_type="inner").select(out_names)
+        return lt.join(rt, keys=on, join_type=join_type).select(out_names)
 
     return hash_partition(u, [on], num_partitions).map_batches(
         _merge, batch_size=None, batch_format="pyarrow",

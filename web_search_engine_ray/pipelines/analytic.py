@@ -1,0 +1,132 @@
+"""Analytic (ordered window) functions Ray Data lacks natively:
+per-key running aggregates and lag/lead shifts.
+
+Both share one distributed shape: hash-partition on the key (the
+repo-wide complete-groups contract, functions/grouping.py), then ONE
+per-partition vectorized pass — a single lexsort by (key, ts, id)
+followed by run-sliced numpy kernels.  No global sort, no driver-side
+state; the exchange moves each row exactly once.
+
+Ordering contract: rows within a key are ordered by (ts, id) — the id
+tie-break makes results deterministic under duplicate timestamps and
+is mirrored verbatim in the SQL oracles
+(``OVER (PARTITION BY key ORDER BY ts, id)``).
+
+Partitioning assumption (SURVEY §2 custom-operator rule): all rows of
+a key must fit one hash partition — same contract as sessionize /
+group_topk; salt or range-split hotter-than-heap keys upstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from web_search_engine_ray.functions.grouping import (group_slices,
+                                                      hash_partition)
+
+
+def _sorted_runs(batch: pa.Table, key: str, ts_col: str, id_col: str):
+    """(order, starts, ends, ts_int64) for one hash partition: one
+    lexsort by (key, ts, id) + run detection over equal-key slices."""
+    enc = pc.dictionary_encode(batch.column(key))
+    kcode = np.asarray(enc.combine_chunks().indices.to_numpy(
+        zero_copy_only=False), np.int64)
+    ts = batch.column(ts_col).to_numpy().astype("datetime64[us]") \
+        .astype(np.int64)
+    ids = batch.column(id_col).to_numpy()
+    order = np.lexsort((ids, ts, kcode))
+    starts, ends = group_slices([kcode[order]])
+    return order, starts, ends, ts
+
+
+def running_sum(ds: "ray.data.Dataset", key: str, ts_col: str,
+                val_col: str, id_col: str,
+                num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Per-key cumulative sum ordered by (ts, id) — the streaming form
+    of ``SUM(val) OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)``.  Also emits the 1-based running row number.  Sums are
+    rounded to 6 (prefix sums accumulate left-to-right, the same order
+    the SQL window frame pins)."""
+    cols = [id_col, key, ts_col, val_col]
+    sch = ds.schema()
+    key_t = sch.types[sch.names.index(key)]
+    id_t = sch.types[sch.names.index(id_col)]
+
+    def _part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], id_t),
+                key: pa.array([], key_t),
+                "running_sum": pa.array([], pa.float64()),
+                "running_n": pa.array([], pa.int64())})
+        order, starts, ends, _ts = _sorted_runs(batch, key, ts_col, id_col)
+        vals = batch.column(val_col).to_numpy().astype(np.float64)[order]
+        cum = np.cumsum(vals)
+        # subtract each run's preceding total so cumsums restart per key
+        base = np.where(starts > 0, cum[starts - 1], 0.0)
+        lens = ends - starts
+        run_sum = cum - np.repeat(base, lens)
+        rn = np.arange(len(vals), dtype=np.int64) - \
+            np.repeat(starts, lens) + 1
+        t = batch.take(pa.array(order, pa.int64()))
+        return pa.table({
+            id_col: t.column(id_col),
+            key: t.column(key),
+            "running_sum": pa.array(np.round(run_sum, 6), pa.float64()),
+            "running_n": pa.array(rn, pa.int64())})
+
+    return hash_partition(ds.select_columns(cols), [key],
+                          num_partitions).map_batches(
+        _part, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def shift_by_key(ds: "ray.data.Dataset", key: str, ts_col: str,
+                 shift_col: str, id_col: str, offset: int = 1,
+                 out_col: str | None = None,
+                 num_partitions: int | None = None) -> "ray.data.Dataset":
+    """LAG (offset > 0) / LEAD (offset < 0) of ``shift_col`` within each
+    key, ordered by (ts, id); null where the shifted row falls outside
+    the key's run — exactly ``LAG(shift_col, offset) OVER (PARTITION BY
+    key ORDER BY ts, id)``."""
+    if offset == 0:
+        raise ValueError("offset must be nonzero (LAG > 0, LEAD < 0)")
+    out_col = out_col or (f"lag_{shift_col}" if offset > 0
+                          else f"lead_{shift_col}")
+    cols = list(dict.fromkeys([id_col, key, ts_col, shift_col]))
+    sch = ds.schema()
+    shift_t = sch.types[sch.names.index(shift_col)]
+    key_t = sch.types[sch.names.index(key)]
+    id_t = sch.types[sch.names.index(id_col)]
+
+    def _part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_t),
+                             key: pa.array([], key_t),
+                             out_col: pa.array([], shift_t)})
+        order, starts, ends, _ts = _sorted_runs(batch, key, ts_col, id_col)
+        n = len(order)
+        lens = ends - starts
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        src = np.arange(n, dtype=np.int64) - offset
+        valid = (pos >= offset) if offset > 0 else (pos < lens.repeat(lens)
+                                                    + offset)
+        t = batch.take(pa.array(order, pa.int64()))
+        shifted_idx = np.where(valid, src, 0)
+        shifted = t.column(shift_col).take(
+            pa.array(shifted_idx, pa.int64()))
+        out = pc.if_else(pa.array(valid), shifted.combine_chunks(),
+                         pa.scalar(None, shift_t))
+        return pa.table({id_col: t.column(id_col),
+                         key: t.column(key),
+                         out_col: out})
+
+    return hash_partition(ds.select_columns(cols), [key],
+                          num_partitions).map_batches(
+        _part, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)

@@ -631,6 +631,48 @@ def emb_centroids(sf_dir: str) -> pa.Table:
     return label_centroids(ds, "label", "embedding")
 
 
+def customer_orders_left(sf_dir: str) -> pa.Table:
+    """LEFT OUTER hash join: every customer (custkey <= 100) with each
+    of their orders; orderless customers keep a null o_orderkey."""
+    from web_search_engine_ray.functions.grouping import hash_join
+    cust = _tpch(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_custkey <= 100")
+    orders = _tpch(sf_dir, "orders", ["o_custkey", "o_orderkey"]) \
+        .map_batches(lambda b: b.rename_columns(["c_custkey", "o_orderkey"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+    out = hash_join(cust, orders, on="c_custkey", how="left")
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")),
+                            promote_options="default") \
+        .sort_by([("c_custkey", "ascending"), ("o_orderkey", "ascending")])
+
+
+def events_cumsum(sf_dir: str) -> pa.Table:
+    """Per-user running value sum ordered by (ts, event_id) — the
+    analytic-window operator (pipelines/analytic.py)."""
+    from web_search_engine_ray.pipelines.analytic import running_sum
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id",
+                                        "value"])
+    out = running_sum(ev, key="user_id", ts_col="ts", val_col="value",
+                      id_col="event_id")
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")),
+                            promote_options="default") \
+        .sort_by([("event_id", "ascending")])
+
+
+def events_lag(sf_dir: str) -> pa.Table:
+    """Per-user LAG(ts): each event gains the previous event's ts (by
+    (ts, event_id) order); first event per user is null."""
+    from web_search_engine_ray.pipelines.analytic import shift_by_key
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id"])
+    out = shift_by_key(ev, key="user_id", ts_col="ts", shift_col="ts",
+                       id_col="event_id", offset=1, out_col="lag_ts")
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")),
+                            promote_options="default") \
+        .sort_by([("event_id", "ascending")])
+
+
 GROUPED_QS = [0.25, 0.5, 0.9]
 
 
@@ -1186,6 +1228,26 @@ SELECT o_orderkey, o_totalprice FROM orders o
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_orderkey = o.o_orderkey)
 ORDER BY o_orderkey""",
+    "customer_orders_left": """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey <= 100
+ORDER BY c.c_custkey, o.o_orderkey""",
+    "events_cumsum": """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6)
+         AS running_sum,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT)
+         AS running_n
+FROM events ORDER BY event_id""",
+    "events_lag": """
+SELECT event_id, user_id,
+       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS lag_ts
+FROM events ORDER BY event_id""",
     "emb_centroids": """
 SELECT CAST(label AS BIGINT) AS label, CAST(ord AS BIGINT) AS ord,
        round(avg(val), 6) AS v
@@ -1301,6 +1363,9 @@ QUERIES = {
     "docs_stratified": docs_stratified,
     "emb_centroids": emb_centroids,
     "orders_unfulfilled": orders_unfulfilled,
+    "customer_orders_left": customer_orders_left,
+    "events_cumsum": events_cumsum,
+    "events_lag": events_lag,
     "tpch_pricing": tpch_pricing,
     "tpch_shipping": tpch_shipping,
     "tpch_nation_revenue": tpch_nation_revenue,
