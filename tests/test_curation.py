@@ -205,3 +205,24 @@ def test_phrase_sharded_stage1_matches_unsharded(ray_session, tmp_path):
         base.column("doc_id").to_pylist()
     assert base.column("doc_id").to_pylist() == \
         [i for i in range(30) if i % 3 == 0]
+
+
+def test_quality_gate_vs_manual_median(ray_session):
+    """Docs at/above their lang's quantile_disc-median token count."""
+    texts = {
+        "en": ["one", "one two", "one two three", "one two three four"],
+        "de": ["ein", "ein zwei zwei", "ein zwei drei vier funf"],
+    }
+    rows = []
+    i = 0
+    for lang, ts in texts.items():
+        for t in ts:
+            rows.append((i, lang, t))
+            i += 1
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "lang": pa.array([r[1] for r in rows], pa.string()),
+                    "text": pa.array([r[2] for r in rows], pa.string())})
+    out = curation.quality_gate(ray.data.from_arrow(tbl), q=0.5)
+    # en counts 1,2,3,4 -> disc-median = 2 (rank ceil(.5*4)-1 = 1);
+    # de counts 1,3,5 -> disc-median = 3
+    assert out.column("doc_id").to_pylist() == [1, 2, 3, 5, 6]

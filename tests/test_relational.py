@@ -136,3 +136,33 @@ def test_nation_revenue(ray_session):
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY 1 ORDER BY revenue DESC, n_name""").arrow()
     assert got.to_pydict() == want.to_pydict()
+
+
+def test_rollup_counts_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    g = np.random.default_rng(7)
+    tbl = pa.table({
+        "lang": pa.array([f"l{i}" for i in g.integers(0, 4, 500)]),
+        "source": pa.array([f"s{i}" for i in g.integers(0, 6, 500)]),
+    })
+    from web_search_engine_ray.pipelines.relational import rollup_counts
+    got = rollup_counts(ray.data.from_arrow(tbl).repartition(4),
+                        ["lang", "source"])
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.sql("""
+        SELECT lang, source, count(*)::BIGINT AS n_docs
+        FROM t GROUP BY ROLLUP(lang, source)
+        ORDER BY lang NULLS LAST, source NULLS LAST""").arrow()
+    got = got.sort_by([("lang", "ascending"), ("source", "ascending")])
+    assert got.column("n_docs").to_pylist() == \
+        want.column("n_docs").to_pylist()
+    assert got.column("lang").to_pylist() == want.column("lang").to_pylist()
+    assert got.column("source").to_pylist() == \
+        want.column("source").to_pylist()
+    # grand-total row present exactly once
+    import pyarrow.compute as pc
+    both_null = pc.and_(pc.is_null(got.column("lang")),
+                        pc.is_null(got.column("source")))
+    assert pc.sum(pc.cast(both_null, pa.int64())).as_py() == 1

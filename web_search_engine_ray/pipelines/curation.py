@@ -222,6 +222,59 @@ def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         repetition_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# --- percentile-based quality gating ---------------------------------------
+
+
+def quality_gate(docs: "ray.data.Dataset", q: float = 0.5) -> pa.Table:
+    """Keep docs whose token count reaches their language's q-quantile
+    (quantile_disc) — the percentile-based quality filter every
+    training-data pipeline runs before mixing corpora.
+
+    Two streaming passes (both tokenize; the skinny per-doc stats are
+    NOT materialized — at 10^12 docs re-tokenizing is cheaper than
+    landing a corpus-length table):
+    1. per-lang thresholds via the shuffle-one-exchange
+       grouped_quantiles over a (lang, n_tokens) map;
+    2. a filter pass against the ray.put-broadcast {lang: threshold}
+       dict (bounded by |langs|).
+    Returns (doc_id, lang, n_tokens) for the surviving docs."""
+    from web_search_engine_ray.pipelines.quantiles import grouped_quantiles
+    from web_search_engine_ray.spec import tokenize
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        n_tok = [len(tokenize(t)) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "n_tokens": pa.array(n_tok, pa.int64())})
+
+    src = docs.select_columns(["doc_id", "lang", "text"])
+    med = grouped_quantiles(src.map_batches(
+        _stats, batch_format="pyarrow", zero_copy_batch=True),
+        key="lang", col="n_tokens", qs=[q])
+    thr = {lang: float(v) for lang, v in
+           zip(med.column("lang").to_pylist(),
+               med.column("value").to_pylist())}
+    thr_ref = ray.put(thr)
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        s = _stats(batch)
+        langs = s.column("lang").to_pylist()
+        n_tok = s.column("n_tokens").to_numpy()
+        keep = np.fromiter(
+            (n >= t.get(lg, np.inf) for n, lg in zip(n_tok, langs)),
+            bool, len(langs))
+        return s.filter(pa.array(keep))
+
+    out = pa.concat_tables(list(src.map_batches(
+        _gate, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")) or
+        [pa.table({"doc_id": pa.array([], pa.int64()),
+                   "lang": pa.array([], pa.string()),
+                   "n_tokens": pa.array([], pa.int64())})])
+    return out.sort_by([("doc_id", "ascending")])
+
+
 # --- exact phrase search ---------------------------------------------------
 
 

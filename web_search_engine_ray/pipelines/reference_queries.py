@@ -660,6 +660,20 @@ def events_cumsum(sf_dir: str) -> pa.Table:
         .sort_by([("event_id", "ascending")])
 
 
+def docs_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(lang, source) counts with DuckDB null-filling."""
+    from web_search_engine_ray.pipelines.relational import rollup_counts
+    return rollup_counts(_docs_ds(sf_dir, ["lang", "source"]),
+                         ["lang", "source"])
+
+
+def quality_gate(sf_dir: str) -> pa.Table:
+    """Percentile quality filter: docs at/above their lang's median
+    token count."""
+    from web_search_engine_ray.pipelines.curation import quality_gate as qg
+    return qg(_docs_ds(sf_dir, ["doc_id", "lang", "text"]), q=0.5)
+
+
 def events_lag(sf_dir: str) -> pa.Table:
     """Per-user LAG(ts): each event gains the previous event's ts (by
     (ts, event_id) order); first event per user is null."""
@@ -1248,6 +1262,20 @@ SELECT event_id, user_id,
        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
          AS lag_ts
 FROM events ORDER BY event_id""",
+    "docs_rollup": """
+SELECT lang, source, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY ROLLUP(lang, source)
+ORDER BY lang, source""",
+    "quality_gate": """
+WITH s AS (SELECT doc_id, lang,
+                  len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                    AS n_tokens
+           FROM documents),
+m AS (SELECT lang, quantile_disc(n_tokens, 0.5) AS med
+      FROM s GROUP BY lang)
+SELECT s.doc_id, s.lang, s.n_tokens
+FROM s JOIN m USING (lang) WHERE s.n_tokens >= m.med
+ORDER BY s.doc_id""",
     "emb_centroids": """
 SELECT CAST(label AS BIGINT) AS label, CAST(ord AS BIGINT) AS ord,
        round(avg(val), 6) AS v
@@ -1366,6 +1394,8 @@ QUERIES = {
     "customer_orders_left": customer_orders_left,
     "events_cumsum": events_cumsum,
     "events_lag": events_lag,
+    "docs_rollup": docs_rollup,
+    "quality_gate": quality_gate,
     "tpch_pricing": tpch_pricing,
     "tpch_shipping": tpch_shipping,
     "tpch_nation_revenue": tpch_nation_revenue,

@@ -317,6 +317,52 @@ def pivot_counts(ds: "ray.data.Dataset", row_key: str, col_key: str,
     return pa.table(out)
 
 
+def rollup_counts(ds: "ray.data.Dataset", keys: list[str]) -> pa.Table:
+    """GROUP BY ROLLUP(keys): counts at every prefix level of the key
+    hierarchy — (k1..kn), (k1..kn-1, NULL), ..., (all NULL) — exactly
+    DuckDB's ROLLUP null-filling.
+
+    Shape: ONE streaming pass computes per-batch combiner counts at the
+    FINEST level only; the super-aggregate levels are derived from that
+    bounded table (|distinct key tuples| rows — the same driver-state
+    contract as pivot_counts: a rollup over unbounded-cardinality keys
+    is just a groupby and should stay long-form)."""
+    def _cells(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(keys), keys) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["n"])
+
+    finest = pa.concat_tables(list(
+        ds.select_columns(keys).map_batches(
+            _cells, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")))
+    if finest.num_rows:
+        finest = pa.TableGroupBy(finest, keys).aggregate([("n", "sum")]) \
+            .rename_columns(keys + ["n"])
+    levels = [finest]
+    cur = finest
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        if kept:
+            g = pa.TableGroupBy(cur.select(kept + ["n"]), kept) \
+                .aggregate([("n", "sum")]).rename_columns(kept + ["n"])
+        else:
+            import pyarrow.compute as pc
+            total = pc.sum(cur.column("n")).as_py() or 0
+            g = pa.table({"n": pa.array([total], pa.int64())})
+        cols = {}
+        for k in keys:
+            cols[k] = g.column(k) if k in kept \
+                else pa.nulls(g.num_rows, finest.schema.field(k).type)
+        cols["n"] = g.column("n")
+        levels.append(pa.table(cols))
+        cur = levels[-1]
+    out = pa.concat_tables(levels)
+    out = pa.table({**{k: out.column(k) for k in keys},
+                    "n_docs": out.column("n").cast(pa.int64())})
+    return out.sort_by([(k, "ascending") for k in keys])
+
+
 def nation_revenue(region: pa.Table, nation: pa.Table,
                    customer: "ray.data.Dataset",
                    orders: "ray.data.Dataset",
