@@ -57,7 +57,12 @@ def dedup_turns(ds: "ray.data.Dataset") -> "ray.data.Dataset":
             ("conv_id", "ascending"), ("turn_idx", "ascending"),
             ("ts", "ascending")])
         t = batch.take(idx)
-        conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        # run detection only needs equal/not-equal of adjacent rows:
+        # dictionary codes give that without materializing Python strs
+        enc = pa.compute.dictionary_encode(
+            t.column("conv_id")).combine_chunks()
+        conv = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                          np.int64)
         turn = t.column("turn_idx").to_numpy()
         starts, _ends = group_slices([conv, turn])
         return t.take(pa.array(starts, pa.int64()))
@@ -362,6 +367,36 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
     return stats
 
 
+def _fused_index_and_doc_write(batch: "pa.Table", *, hot_ref,
+                               num_buckets: int, salt_s: int, n_docs: int,
+                               doc_dir: str, sub_batch: int) -> "pa.Table":
+    """One-pass A1: write this block's doc_table shard (atomic
+    tmp+rename, named by the block's min doc_id — doc_ids are disjoint
+    across blocks, so names are unique and a retried task rewrites the
+    SAME file with the same bytes), then tokenize+encode the block into
+    posting runs.  The corpus flows through memory exactly once.
+
+    Tokenize runs over ``sub_batch``-row zero-copy slices, not the
+    whole block: the per-slice token object array stays cache-sized
+    (a whole-block factorize measured ~35% slower on this box)."""
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.stages.indexer import PartitionIndexer
+    if batch.num_rows:
+        os.makedirs(doc_dir, exist_ok=True)
+        lo = int(pa.compute.min(batch.column("doc_id")).as_py())
+        path = os.path.join(doc_dir, f"fused-{lo:012d}.parquet")
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(batch, tmp, compression="zstd")
+        os.replace(tmp, path)
+    skinny = batch.select(["doc_id", "text"])
+    parts = [PartitionIndexer.task_fn(
+        skinny.slice(off, sub_batch), hot_ref=hot_ref,
+        num_buckets=num_buckets, salt_s=salt_s, n_docs=n_docs)
+        for off in range(0, max(1, skinny.num_rows), sub_batch)]
+    return pa.concat_tables(parts)
+
+
 def _overlapped_fresh_build(corpus: str, out_dir: str, cfg: EngineConfig,
                             man: Manifest, metrics: dict) -> None:
     """Fresh plain-path build with stage overlap (see build_index).
@@ -376,6 +411,15 @@ def _overlapped_fresh_build(corpus: str, out_dir: str, cfg: EngineConfig,
                     ├── thread: write partials checkpoint (zstd)
                     └── main:   direct_merge -> segments + dictionary
         join all; mark stages done (each strictly after its write)
+
+    With cfg.fuse_doc_table (default, task-form A1 only) the first two
+    legs FUSE: one pipeline reads the corpus once, each task writing
+    its block's doc_table shard as a side-effect and emitting posting
+    runs — the corpus crosses the memory bus once instead of three
+    times (write + re-read + tokenize).  Measured on this box the bus
+    is the binding resource at 32 CPUs (aggregate stream bandwidth
+    saturates at ~40 GB/s by 8 processes), so the fusion buys the most
+    exactly where scaling was capped.
     """
     import threading
     import time as _time
@@ -384,7 +428,18 @@ def _overlapped_fresh_build(corpus: str, out_dir: str, cfg: EngineConfig,
     from web_search_engine_ray.stages.indexer import (
         conversation_offsets_from_parquet, detect_hot_terms_from_parquet)
 
+    # offsets and the hot-term sample are independent driver-side
+    # parquet passes (~1-2 s each); parquet decode releases the GIL, so
+    # a thread overlaps them — this is pure serial time at every
+    # parallelism level (Amdahl), worth its own thread
+    hot_box: list = []
+    t_hot0 = _time.time()
+    th_hot = threading.Thread(
+        target=lambda: hot_box.append(
+            sorted(detect_hot_terms_from_parquet(corpus, cfg))),
+        daemon=True)
     t0 = _time.time()
+    th_hot.start()
     offsets, n_docs = conversation_offsets_from_parquet(corpus)
     offsets_ref = ray.put(offsets)
     metrics["offsets"] = round(_time.time() - t0, 3)
@@ -410,45 +465,70 @@ def _overlapped_fresh_build(corpus: str, out_dir: str, cfg: EngineConfig,
         th.start()
         return th
 
-    # doc_table write (a Ray job) runs while the DRIVER computes the
-    # hot-term sample — driver-side pandas/regex work that would
-    # otherwise serialize after the write.  Never two CPU-heavy Ray
-    # pipelines at once: measured on this box, concurrent full pipelines
-    # oversubscribe the cores and run slower than sequential.
-    def _write_doc_table():
-        read_transcripts(corpus).map_batches(
+    fuse = cfg.fuse_doc_table and not cfg.indexer_actor_pool
+    if fuse:
+        # ONE corpus pass: read -> assign -> (doc shard write + A1).
+        # hot_terms must finish first (it feeds A1's salt decisions);
+        # it has been running alongside the offsets pass since t0.
+        th_hot.join()
+        hot = hot_box[0]
+        metrics["hot_terms"] = round(_time.time() - t_hot0, 3)
+        t1 = _time.time()
+        fused_kwargs = dict(hot_ref=ray.put(set(hot)),
+                            num_buckets=cfg.num_buckets, salt_s=cfg.salt_s,
+                            n_docs=max(1, n_docs), doc_dir=doc_dir,
+                            sub_batch=cfg.tokenize_batch_size)
+        partials = read_transcripts(corpus).map_batches(
             make_assign_doc_ids(offsets_ref), batch_format="pyarrow",
-            zero_copy_batch=True).write_parquet(doc_dir, compression="zstd")
-
-    th_doc = _run("doc_table", _write_doc_table)
-    t1 = _time.time()
-    hot = sorted(detect_hot_terms_from_parquet(corpus, cfg))
-    metrics["hot_terms"] = round(_time.time() - t1, 3)
-    th_doc.join()
-    if errs:
-        raise errs[0]
-
-    # partials read the checkpointed doc_table (column-pruned, doc_id
-    # already assigned) — one corpus scan and one assign pass saved
-    t1 = _time.time()
-    indexer_kwargs = dict(hot_ref=ray.put(set(hot)),
-                          num_buckets=cfg.num_buckets, salt_s=cfg.salt_s,
-                          n_docs=max(1, n_docs))
-    src = ray.data.read_parquet(doc_dir, columns=["doc_id", "text"])
-    if cfg.indexer_actor_pool:
-        partials = src.map_batches(
-            PartitionIndexer,
-            fn_constructor_args=tuple(indexer_kwargs.values()),
-            batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=cfg.tokenize_batch_size,
-            concurrency=_actor_concurrency())
+            zero_copy_batch=True).map_batches(
+            _fused_index_and_doc_write, fn_kwargs=fused_kwargs,
+            batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+        live = partials.materialize()
+        metrics["doc_table"] = 0.0        # fused into partials
+        metrics["partials"] = round(_time.time() - t1, 3)
     else:
-        partials = src.map_batches(
-            PartitionIndexer.task_fn, fn_kwargs=indexer_kwargs,
-            batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=cfg.tokenize_batch_size)
-    live = partials.materialize()
-    metrics["partials"] = round(_time.time() - t1, 3)
+        # doc_table write (a Ray job) runs while the DRIVER computes the
+        # hot-term sample — driver-side pandas/regex work that would
+        # otherwise serialize after the write.  Never two CPU-heavy Ray
+        # pipelines at once: measured on this box, concurrent full
+        # pipelines oversubscribe the cores and run slower than
+        # sequential.
+        def _write_doc_table():
+            read_transcripts(corpus).map_batches(
+                make_assign_doc_ids(offsets_ref), batch_format="pyarrow",
+                zero_copy_batch=True).write_parquet(doc_dir,
+                                                    compression="zstd")
+
+        th_doc = _run("doc_table", _write_doc_table)
+        th_hot.join()                       # running since t0
+        hot = hot_box[0]
+        metrics["hot_terms"] = round(_time.time() - t_hot0, 3)
+        th_doc.join()
+        if errs:
+            raise errs[0]
+
+        # partials read the checkpointed doc_table (column-pruned,
+        # doc_id already assigned) — one corpus scan and one assign
+        # pass saved
+        t1 = _time.time()
+        indexer_kwargs = dict(hot_ref=ray.put(set(hot)),
+                              num_buckets=cfg.num_buckets,
+                              salt_s=cfg.salt_s, n_docs=max(1, n_docs))
+        src = ray.data.read_parquet(doc_dir, columns=["doc_id", "text"])
+        if cfg.indexer_actor_pool:
+            partials = src.map_batches(
+                PartitionIndexer,
+                fn_constructor_args=tuple(indexer_kwargs.values()),
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=cfg.tokenize_batch_size,
+                concurrency=_actor_concurrency())
+        else:
+            partials = src.map_batches(
+                PartitionIndexer.task_fn, fn_kwargs=indexer_kwargs,
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=cfg.tokenize_batch_size)
+        live = partials.materialize()
+        metrics["partials"] = round(_time.time() - t1, 3)
 
     # the checkpoint write (IO-bound) overlaps the merge (CPU-bound);
     # both consume the same materialized blocks

@@ -115,6 +115,15 @@ class EngineConfig:
     # partials checkpoint write concurrently with the merge (fresh
     # plain-path builds only; outputs byte-identical — scheduling only)
     overlap_build_stages: bool = True
+    # fuse the doc_table write INTO the tokenize pass (one corpus scan,
+    # one stream through memory): each indexer task writes its block's
+    # doc_table shard as an atomic side-effect and emits posting runs —
+    # removes a full corpus write+read round-trip (zstd encode+decode,
+    # parquet encode+decode) from the critical path AND from the memory
+    # bus, which is the binding resource at high parallelism.  Same
+    # doc_table rows / byte-identical segments (pinned by test); only
+    # the shard file naming differs.  Fresh overlapped builds only.
+    fuse_doc_table: bool = True
 
     def config_hash(self) -> str:
         payload = repr(sorted(asdict(self).items())).encode()

@@ -98,7 +98,11 @@ def direct_merge(runs_ds: "ray.data.Dataset", seg_dir: str, dict_dir: str,
     if not block_refs:
         return []
     p1 = max(4, n_cpus)
-    q = max(2, n_cpus // 2)
+    # one finalize task per ~bucket: the write phase is the pipeline
+    # tail (nothing overlaps after it), so it needs FULL width — and
+    # buckets skew (DL-sentinel / hot-term buckets are several times
+    # median), so more, smaller groups also shrink the straggler
+    q = max(2, 2 * n_cpus)
     # ~one split task per CPU: coalesce input blocks to bound task/object
     # counts (n_tasks * p1 intermediate objects)
     n_split = min(len(block_refs), max(n_cpus, 8))
