@@ -115,3 +115,30 @@ def test_left_join_vs_duckdb(ray_session):
     unmatched = got.filter(pa.compute.is_null(got.column("rv")))
     assert unmatched.column("k").to_pylist() == expect_unmatched
     assert set(range(30, 50)) <= set(expect_unmatched)
+
+
+def test_rolling_mean_vs_duckdb(ray_session):
+    from web_search_engine_ray.pipelines.analytic import rolling_mean
+    tbl = _events(seed=21, n=900, n_keys=20)
+    con = duckdb.connect()
+    con.register("ev", tbl)
+    want = con.sql("""
+        SELECT event_id,
+               round(avg(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rm
+        FROM ev ORDER BY event_id""").arrow()
+    got = _collect(rolling_mean(
+        ray.data.from_arrow(tbl).repartition(5), key="user_id",
+        ts_col="ts", val_col="value", id_col="event_id", window_rows=4))
+    assert np.allclose(got.column("rolling_mean").to_numpy(),
+                       want.column("rm").to_numpy(), atol=1e-6, rtol=0)
+    # window_rows=1 degenerates to the value itself
+    got1 = _collect(rolling_mean(
+        ray.data.from_arrow(tbl), key="user_id", ts_col="ts",
+        val_col="value", id_col="event_id", window_rows=1)) \
+        .sort_by("event_id")
+    base = tbl.sort_by("event_id")
+    assert np.allclose(got1.column("rolling_mean").to_numpy(),
+                       np.round(base.column("value").to_numpy(), 6),
+                       atol=1e-9)

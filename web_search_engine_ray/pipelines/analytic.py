@@ -86,6 +86,49 @@ def running_sum(ds: "ray.data.Dataset", key: str, ts_col: str,
         zero_copy_batch=True)
 
 
+def rolling_mean(ds: "ray.data.Dataset", key: str, ts_col: str,
+                 val_col: str, id_col: str, window_rows: int,
+                 num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Per-key moving average over the last ``window_rows`` rows
+    (current row included), ordered by (ts, id) — ``AVG(val) OVER
+    (PARTITION BY key ORDER BY ts, id ROWS BETWEEN window_rows-1
+    PRECEDING AND CURRENT ROW)``.  Kernel: one prefix-sum per
+    partition; each row's window sum is cum[i] - cum[i - w] clamped at
+    its key run's start — no per-row loop."""
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    cols = [id_col, key, ts_col, val_col]
+    sch = ds.schema()
+    key_t = sch.types[sch.names.index(key)]
+    id_t = sch.types[sch.names.index(id_col)]
+
+    def _part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_t),
+                             key: pa.array([], key_t),
+                             "rolling_mean": pa.array([], pa.float64())})
+        order, starts, ends, _ts = _sorted_runs(batch, key, ts_col, id_col)
+        vals = batch.column(val_col).to_numpy().astype(np.float64)[order]
+        n = len(vals)
+        lens = ends - starts
+        run_start = np.repeat(starts, lens)
+        cum = np.concatenate(([0.0], np.cumsum(vals)))
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(idx - window_rows + 1, run_start)
+        wsum = cum[idx + 1] - cum[lo]
+        wn = (idx - lo + 1).astype(np.float64)
+        t = batch.take(pa.array(order, pa.int64()))
+        return pa.table({
+            id_col: t.column(id_col),
+            key: t.column(key),
+            "rolling_mean": pa.array(np.round(wsum / wn, 6), pa.float64())})
+
+    return hash_partition(ds.select_columns(cols), [key],
+                          num_partitions).map_batches(
+        _part, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def shift_by_key(ds: "ray.data.Dataset", key: str, ts_col: str,
                  shift_col: str, id_col: str, offset: int = 1,
                  out_col: str | None = None,

@@ -660,6 +660,19 @@ def events_cumsum(sf_dir: str) -> pa.Table:
         .sort_by([("event_id", "ascending")])
 
 
+def events_rolling(sf_dir: str) -> pa.Table:
+    """Per-user 4-row moving average of value, ordered by (ts, id)."""
+    from web_search_engine_ray.pipelines.analytic import rolling_mean
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id",
+                                        "value"])
+    out = rolling_mean(ev, key="user_id", ts_col="ts", val_col="value",
+                       id_col="event_id", window_rows=4)
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")),
+                            promote_options="default") \
+        .sort_by([("event_id", "ascending")])
+
+
 def docs_rollup(sf_dir: str) -> pa.Table:
     """GROUP BY ROLLUP(lang, source) counts with DuckDB null-filling."""
     from web_search_engine_ray.pipelines.relational import rollup_counts
@@ -1262,6 +1275,12 @@ SELECT event_id, user_id,
        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
          AS lag_ts
 FROM events ORDER BY event_id""",
+    "events_rolling": """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+         AS rolling_mean
+FROM events ORDER BY event_id""",
     "docs_rollup": """
 SELECT lang, source, count(*)::BIGINT AS n_docs
 FROM documents GROUP BY ROLLUP(lang, source)
@@ -1396,6 +1415,7 @@ QUERIES = {
     "events_lag": events_lag,
     "docs_rollup": docs_rollup,
     "quality_gate": quality_gate,
+    "events_rolling": events_rolling,
     "tpch_pricing": tpch_pricing,
     "tpch_shipping": tpch_shipping,
     "tpch_nation_revenue": tpch_nation_revenue,
