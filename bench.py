@@ -307,6 +307,13 @@ def main_scaling() -> None:
     probe_s = float(os.environ.get("WSE_SCALING_PROBE_S", "6"))
     min_cap = float(os.environ.get("WSE_SCALING_MIN_CAP",
                                    str(round(0.82 * ideal, 3))))
+    # optional second gate on MEMORY-STREAM capacity (hi/lo aggregate
+    # copy bandwidth): a window is node-like only if bandwidth scales
+    # with the level too — on this VM that is expressible only below
+    # the ~8-process bus knee, so default off; set e.g. 2.5 for a 2,8
+    # run to accept only windows where the bus grants ~proportional
+    # bandwidth (the faithful N-vs-4N-node emulation)
+    min_stream = float(os.environ.get("WSE_SCALING_MIN_STREAM", "0"))
     gate_retries = int(os.environ.get("WSE_SCALING_GATE_RETRIES", "3"))
     retry_sleep = float(os.environ.get("WSE_SCALING_RETRY_SLEEP_S", "60"))
     rng = random.Random(20260818)
@@ -322,13 +329,14 @@ def main_scaling() -> None:
         for attempt in range(gate_retries + 1):
             p = _host_capacity_probe(lo, hi, dur=probe_s)
             probes.append(p)
-            if p["capacity_hi_over_lo"] >= min_cap:
+            if p["capacity_hi_over_lo"] >= min_cap and \
+                    p["stream_hi_over_lo"] >= min_stream:
                 ok = True
                 break
             if attempt < gate_retries:
                 time.sleep(retry_sleep)
         rec = {"window": w, "gate_probes": probes, "gate_ok": ok,
-               "min_cap": min_cap}
+               "min_cap": min_cap, "min_stream": min_stream}
         w += 1
         if not ok:
             rec["status"] = "rejected_by_gate"
