@@ -222,6 +222,53 @@ def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         repetition_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# --- end-to-end corpus curation --------------------------------------------
+
+
+def curate_corpus(docs: "ray.data.Dataset", bench_source: str,
+                  k: int = DECONTAM_K, q: float = 0.5,
+                  val_frac: float = 0.1) -> pa.Table:
+    """The flagship training-data story, composed from this module's
+    operators in the order a real pre-training pipeline runs them:
+
+    1. exact dedup      — keep min doc_id per distinct text
+                          (md5-keyed groupby; analysis.exact_dedup);
+    2. decontamination  — drop docs sharing >= 1 distinct k-gram with
+                          the ``bench_source`` stripe (broadcast gram
+                          set; corpus never shuffles);
+    3. quality gate     — keep docs at/above their lang's quantile_disc
+                          token-count threshold, thresholds computed
+                          over the docs that SURVIVED 1-2;
+    4. split            — deterministic md5(doc_id) train/val labels.
+
+    Returns (doc_id, lang, n_tokens, split) sorted by doc_id.  Stages
+    compose as Dataset->Dataset where the intermediate is corpus-sized
+    (semi/anti joins on skinny id sets); only output-bounded tables
+    reach the driver.  The survivor lineage re-executes once per
+    quality_gate pass (documented there) — at 10^12 docs checkpoint
+    the survivor ids between 2 and 3 instead."""
+    from web_search_engine_ray.functions.grouping import anti_join, semi_join
+    from web_search_engine_ray.pipelines.analysis import exact_dedup
+
+    corpus = docs.filter(expr=f"source != '{bench_source}'")
+    bench = docs.filter(expr=f"source == '{bench_source}'")
+    keep = exact_dedup(corpus.select_columns(["doc_id", "text"])) \
+        .select_columns(["doc_id"])
+    kept = semi_join(corpus, keep, on="doc_id")
+    cont = decontaminate(kept.select_columns(["doc_id", "text"]), bench, k)
+    if cont.num_rows:
+        kept = anti_join(kept, ray.data.from_arrow(
+            cont.select(["doc_id"])), on="doc_id")
+    gated = quality_gate(kept.select_columns(["doc_id", "lang", "text"]),
+                         q=q)
+    thr = split_threshold_hex(val_frac)
+    splits = ["val" if hashlib.md5(str(i).encode()).hexdigest()[:4] < thr
+              else "train" for i in gated.column("doc_id").to_pylist()]
+    return gated.append_column(
+        "split", pa.array(splits, pa.string())).sort_by(
+        [("doc_id", "ascending")])
+
+
 # --- percentile-based quality gating ---------------------------------------
 
 

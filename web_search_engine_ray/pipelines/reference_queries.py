@@ -660,6 +660,16 @@ def events_cumsum(sf_dir: str) -> pa.Table:
         .sort_by([("event_id", "ascending")])
 
 
+def curated_corpus(sf_dir: str) -> pa.Table:
+    """Flagship end-to-end curation: dedup -> decontaminate -> quality
+    gate -> split, composed from the curation operators."""
+    from web_search_engine_ray.pipelines.curation import curate_corpus
+    return curate_corpus(
+        _docs_ds(sf_dir, ["doc_id", "lang", "source", "text"]),
+        bench_source=DECONTAM_BENCH_SOURCE, k=DECONTAM_K, q=0.5,
+        val_frac=0.1)
+
+
 def events_rolling(sf_dir: str) -> pa.Table:
     """Per-user 4-row moving average of value, ordered by (ts, id)."""
     from web_search_engine_ray.pipelines.analytic import rolling_mean
@@ -802,6 +812,39 @@ corp AS (SELECT doc_id, gram FROM gg WHERE source <> '{DECONTAM_BENCH_SOURCE}')
 SELECT c.doc_id, count(*)::BIGINT AS n_shared_grams
 FROM corp c JOIN bench b USING (gram)
 GROUP BY c.doc_id ORDER BY c.doc_id"""
+
+
+def _curated_sql(k: int, val_frac: float) -> str:
+    """Exact recomputation of curation.curate_corpus: exact dedup (min
+    doc_id per text, bench stripe excluded) -> drop benchmark-k-gram-
+    contaminated docs -> per-lang quantile_disc(0.5) token gate with
+    thresholds over the SURVIVORS of 1-2 -> md5 split labels."""
+    from web_search_engine_ray.pipelines.curation import split_threshold_hex
+    thr = split_threshold_hex(val_frac)
+    return f"""
+WITH toks AS ({_TOKS_POS}),
+g AS (SELECT doc_id, source, {_gram_expr(k)} AS gram FROM toks),
+gg AS (SELECT DISTINCT doc_id, source, gram FROM g WHERE gram IS NOT NULL),
+bench AS (SELECT DISTINCT gram FROM gg
+          WHERE source = '{DECONTAM_BENCH_SOURCE}'),
+contaminated AS (SELECT DISTINCT c.doc_id
+                 FROM (SELECT doc_id, gram FROM gg
+                       WHERE source <> '{DECONTAM_BENCH_SOURCE}') c
+                 JOIN bench b USING (gram)),
+dd AS (SELECT min(doc_id) AS doc_id FROM documents
+       WHERE source <> '{DECONTAM_BENCH_SOURCE}' GROUP BY text),
+surv AS (SELECT d.doc_id, d.lang,
+                len(regexp_extract_all(lower(d.text),
+                    '[a-z0-9]+'))::BIGINT AS n_tokens
+         FROM documents d JOIN dd USING (doc_id)
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+m AS (SELECT lang, quantile_disc(n_tokens, 0.5) AS med
+      FROM surv GROUP BY lang)
+SELECT s.doc_id, s.lang, s.n_tokens,
+       CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 4) < '{thr}'
+            THEN 'val' ELSE 'train' END AS split
+FROM surv s JOIN m USING (lang) WHERE s.n_tokens >= m.med
+ORDER BY s.doc_id"""
 
 
 def _split_sql(val_frac: float) -> str:
@@ -1206,6 +1249,7 @@ SELECT user_id, count(*)::BIGINT AS n_sessions,
        max(sz)::BIGINT AS max_session_events
 FROM per_sess GROUP BY user_id ORDER BY user_id""",
     "decontam": _decontam_sql(DECONTAM_K),
+    "curated_corpus": _curated_sql(DECONTAM_K, 0.1),
     "split_docs": _split_sql(0.1),
     "repetition": _REPETITION_SQL,
     "phrase_match": _phrase_sql(),
@@ -1416,6 +1460,7 @@ QUERIES = {
     "docs_rollup": docs_rollup,
     "quality_gate": quality_gate,
     "events_rolling": events_rolling,
+    "curated_corpus": curated_corpus,
     "tpch_pricing": tpch_pricing,
     "tpch_shipping": tpch_shipping,
     "tpch_nation_revenue": tpch_nation_revenue,
