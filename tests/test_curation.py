@@ -226,3 +226,23 @@ def test_quality_gate_vs_manual_median(ray_session):
     # en counts 1,2,3,4 -> disc-median = 2 (rank ceil(.5*4)-1 = 1);
     # de counts 1,3,5 -> disc-median = 3
     assert out.column("doc_id").to_pylist() == [1, 2, 3, 5, 6]
+
+
+def test_phrase_search_uses_sharded_dictionary_when_present(
+        ray_session, tmp_path):
+    """With a sharded dictionary built, phrase stage-1 planning must
+    not materialize the full vocab on the driver — and results are
+    unchanged."""
+    from web_search_engine_ray.stages.scorer import (
+        Dictionary, build_sharded_dictionary)
+    idx, docs = _phrase_fixture(tmp_path, [
+        "the hash join operator", "hash equi join plan", "hash join"])
+    base = curation.phrase_search(idx, docs, [(0, "hash join")])
+    build_sharded_dictionary(idx, rows_per_shard=8)
+    import unittest.mock as mock
+    with mock.patch.object(Dictionary, "load",
+                           side_effect=AssertionError(
+                               "full vocab loaded on driver")):
+        sharded = curation.phrase_search(idx, docs, [(0, "hash join")])
+    assert sharded.column("doc_id").to_pylist() == \
+        base.column("doc_id").to_pylist() == [0, 2]
