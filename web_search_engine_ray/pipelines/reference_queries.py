@@ -209,13 +209,21 @@ def knn_cosine(sf_dir: str) -> pa.Table:
 
 
 def knn_ivf_q(sf_dir: str) -> pa.Table:
-    from web_search_engine_ray.pipelines.knn import _batch_matrix, knn_ivf
+    """ANN over the persisted centroid-partitioned IVF index (memoized
+    per sf_dir, manifest-checked): probe reads touch only the probed
+    bucket directories, never the whole embeddings table."""
+    from web_search_engine_ray.pipelines.knn import (_batch_matrix,
+                                                     build_ivf_index,
+                                                     knn_ivf_indexed)
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     qtbl = pq.read_table(emb_path, filters=[("vec_id", "in", [0, 1, 2, 3, 4])])
     order = np.argsort(qtbl.column("vec_id").to_numpy())
     qmat = _batch_matrix(qtbl)[order]
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = f"/tmp/wse_ivf_{key}"
     ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
-    return knn_ivf(ds, [0, 1, 2, 3, 4], qmat, k=10)
+    build_ivf_index(ds, idx, n_centroids=16)
+    return knn_ivf_indexed(idx, [0, 1, 2, 3, 4], qmat, k=10, nprobe=4)
 
 
 def media_features(sf_dir: str) -> pa.Table:
@@ -1405,6 +1413,14 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
         + ") ORDER BY q"),
 }
 
+# The driver's correctness harness runs the FIRST 50 entries of
+# this dict.  Round-5 rotation (VERDICT_r04 ask #1): the 8 queries that
+# had never received a driver CORRECTNESS row (events_lag, docs_rollup,
+# quality_gate, events_rolling, curated_corpus, tpch_*) now sit inside
+# the 50-query window; 8 long-stable triple-green queries (media_wav,
+# events_by_type, fingerprint, token_stats, docs_sample,
+# lang_distribution, events_json, winnow_fingerprint) rotate to the
+# tail.  All 58 stay covered by tools/check_oracle.py locally.
 QUERIES = {
     "bm25_topk": bm25_topk,
     "merge_bm25": merge_bm25,
@@ -1413,23 +1429,15 @@ QUERIES = {
     "term_df": term_df,
     "top_terms": top_terms,
     "dedup_exact": dedup_exact,
-    "fingerprint": fingerprint,
     "quality_score": quality_score,
-    "lang_distribution": lang_distribution,
     "lang_id": lang_id_pred,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "knn_cosine": knn_cosine,
     "knn_ivf": knn_ivf_q,             # rows-only (approximate; recall pytest)
     "media_features": media_features,
-    "media_wav": media_wav,
-    "events_by_type": events_by_type,
-    "events_json": events_json,
     "ngram_jaccard": ngram_jaccard,
     "dedup_embedding": dedup_embedding,
-    "winnow_fingerprint": winnow_fingerprint,
-    "token_stats": token_stats,
-    "docs_sample": docs_sample,
     "quality_topk_per_lang": quality_topk_per_lang,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
@@ -1464,4 +1472,13 @@ QUERIES = {
     "tpch_pricing": tpch_pricing,
     "tpch_shipping": tpch_shipping,
     "tpch_nation_revenue": tpch_nation_revenue,
+    # --- tail: long-stable, driver-green in r02-r04; still run locally ---
+    "media_wav": media_wav,
+    "events_by_type": events_by_type,
+    "events_json": events_json,
+    "fingerprint": fingerprint,
+    "token_stats": token_stats,
+    "docs_sample": docs_sample,
+    "lang_distribution": lang_distribution,
+    "winnow_fingerprint": winnow_fingerprint,
 }
