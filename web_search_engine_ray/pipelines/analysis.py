@@ -848,11 +848,25 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
                      "simhash": pa.array(hs.astype(np.int64))})
 
 
+# Residual per-bucket pairing is quadratic in the number of DISTINCT
+# simhashes sharing a 16-bit band value; past this bound the bucket is
+# pathological (a hot band) and we refuse loudly with salting guidance
+# rather than quietly running O(U^2).
+_SIMHASH_MAX_DISTINCT_PER_BUCKET = 20_000
+
+
 def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> pa.Table:
     """Near-dup pairs by SimHash: 4×16-bit bands (any doc pair within
     hamming distance ≤3 shares at least one exact band), verified by
     full hamming distance.  Banding is a groupby shuffle; verification
-    happens inside each bucket group."""
+    happens inside each bucket group.
+
+    Scale shape: within a bucket, docs with IDENTICAL full simhash are
+    collapsed to one representative first — the dominant mass at scale
+    (near-identical docs hash identically), and their hamming-0 pairs
+    are emitted directly (output-sized work).  Only DISTINCT hashes go
+    through the quadratic xor+popcount step, bounded by a loud
+    _SIMHASH_MAX_DISTINCT_PER_BUCKET guard (verdict r04 #4)."""
     sims = docs.select_columns(["doc_id", "text"]).map_batches(
         simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -882,27 +896,62 @@ def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> pa.Table:
             return empty
         idx = pc.sort_indices(batch, sort_keys=[
             ("band_id", "ascending"), ("band_key", "ascending"),
-            ("doc_id", "ascending")])
+            ("simhash", "ascending"), ("doc_id", "ascending")])
         t = batch.take(idx)
         bid = t.column("band_id").to_numpy()
         bkey = t.column("band_key").to_numpy()
         docs = t.column("doc_id").to_numpy()
         hs = t.column("simhash").to_numpy().astype(np.uint64)
-        starts, ends = _group_slices([bid, bkey])
-        a_out, b_out, d_out = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            iu, ju = np.triu_indices(e - s, k=1)
-            x = hs[s:e][iu] ^ hs[s:e][ju]
+        # runs of IDENTICAL full hash within each bucket
+        rs, re_ = _group_slices([bid, bkey, hs])
+        # buckets, expressed as slices over the RUN arrays
+        bs, be = _group_slices([bid[rs], bkey[rs]])
+
+        def _pop(x: np.ndarray) -> np.ndarray:
             # popcount: 8 bytes per uint64, table-free via unpackbits
-            hd = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
-                               axis=1).sum(axis=1).astype(np.int32)
-            keep = hd <= max_hamming
-            if keep.any():
-                a_out.append(docs[s:e][iu[keep]])
-                b_out.append(docs[s:e][ju[keep]])
-                d_out.append(hd[keep])
+            return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                                 axis=1).sum(axis=1).astype(np.int32)
+
+        a_out, b_out, d_out = [], [], []
+        for b0, b1 in zip(bs, be):
+            # 1) identical-hash runs: all intra-run pairs at hamming 0
+            #    (output-sized: each emitted pair IS a result row)
+            for r in range(b0, b1):
+                m = re_[r] - rs[r]
+                if m < 2:
+                    continue
+                iu, ju = np.triu_indices(m, k=1)
+                run_docs = docs[rs[r]:re_[r]]
+                a_out.append(run_docs[iu])
+                b_out.append(run_docs[ju])
+                d_out.append(np.zeros(len(iu), np.int32))
+            # 2) DISTINCT hashes: quadratic only over the representatives
+            u = b1 - b0
+            if u < 2:
+                continue
+            if u > _SIMHASH_MAX_DISTINCT_PER_BUCKET:
+                raise RuntimeError(
+                    f"simhash bucket (band_id={bid[rs[b0]]}, "
+                    f"band_key={bkey[rs[b0]]}) holds {u} DISTINCT "
+                    f"simhashes > {_SIMHASH_MAX_DISTINCT_PER_BUCKET}: "
+                    f"residual pairing would be O(U^2); sub-band the "
+                    f"bucket (second 16-bit band) or pre-filter the hot "
+                    f"band value upstream")
+            reps = hs[rs[b0:b1]]
+            iu, ju = np.triu_indices(u, k=1)
+            hd = _pop(reps[iu] ^ reps[ju])
+            hit = np.flatnonzero(hd <= max_hamming)
+            for pi, pj, pd in zip(iu[hit], ju[hit], hd[hit]):
+                ri, rj = b0 + pi, b0 + pj
+                di = docs[rs[ri]:re_[ri]]
+                dj = docs[rs[rj]:re_[rj]]
+                # cross product of the two runs' members (output-sized);
+                # orient each pair doc_id_a < doc_id_b
+                ga = np.repeat(di, len(dj))
+                gb = np.tile(dj, len(di))
+                a_out.append(np.minimum(ga, gb))
+                b_out.append(np.maximum(ga, gb))
+                d_out.append(np.full(len(ga), pd, np.int32))
         if not a_out:
             return empty
         return pa.table({
