@@ -335,3 +335,39 @@ def test_curate_corpus_quoted_bench_source_mask_path(ray_session):
     got = dict(zip(tbl.column("doc_id").to_pylist(),
                    tbl.column("split").to_pylist()))
     assert got == want
+
+
+def test_phrase_search_rejects_stale_sharded_dictionary(
+        ray_session, tmp_path):
+    """ADVICE r04 (medium): a rebuilt index must not plan phrases from a
+    leftover dictionary_sharded/ of the OLD build.  Rebuild into the
+    same out_dir after sharding, then assert (a) the staleness check
+    would have caught a surviving copy, (b) phrase results reflect the
+    NEW corpus."""
+    from web_search_engine_ray.stages.scorer import (
+        build_sharded_dictionary, sharded_dictionary_current)
+    texts_a = ["hash join here", "nothing else", "hash join again"]
+    idx, _ = _phrase_fixture(tmp_path, texts_a)
+    build_sharded_dictionary(idx, rows_per_shard=8)
+    assert sharded_dictionary_current(idx)
+
+    # rebuild the SAME out_dir from a different corpus (term 'merge
+    # sort' exists only in the new one; 'hash join' only in the old)
+    texts_b = ["merge sort lives here", "merge sort again", "filler doc"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts_b)), pa.int64()),
+                    "text": pa.array(texts_b, pa.string())})
+    src2 = str(tmp_path / "docs2.parquet")
+    pq.write_table(tbl, src2)
+    build_index(src2, idx, EngineConfig(hot_sample_docs=1000),
+                input_kind="corpus")
+    import os
+    sharded = os.path.join(idx, "dictionary_sharded")
+    # build_index cleans the stale re-shard; and even if a copy
+    # survived, the fingerprint check rejects it
+    assert not os.path.exists(os.path.join(sharded, "_manifest.json"))
+    assert not sharded_dictionary_current(idx)
+    docs2 = ray.data.read_parquet(src2)
+    out = curation.phrase_search(idx, docs2, [(0, "merge sort")])
+    assert out.column("doc_id").to_pylist() == [0, 1]
+    assert curation.phrase_search(idx, docs2, [(1, "hash join")]) \
+        .num_rows == 0

@@ -166,3 +166,16 @@ def test_rollup_counts_vs_duckdb(ray_session):
     both_null = pc.and_(pc.is_null(got.column("lang")),
                         pc.is_null(got.column("source")))
     assert pc.sum(pc.cast(both_null, pa.int64())).as_py() == 1
+
+
+def test_rollup_counts_empty_input(ray_session):
+    """An empty corpus must yield exactly the SQL ROLLUP grand-total row
+    (n=0, all keys NULL) — not an ArrowInvalid from concat_tables([])."""
+    from web_search_engine_ray.pipelines.relational import rollup_counts
+    tbl = pa.table({"lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string())})
+    out = rollup_counts(ray.data.from_arrow(tbl), ["lang", "source"])
+    assert out.num_rows == 1
+    assert out.column("lang").to_pylist() == [None]
+    assert out.column("source").to_pylist() == [None]
+    assert out.column("n_docs").to_pylist() == [0]

@@ -66,11 +66,14 @@ def running_sum(ds: "ray.data.Dataset", key: str, ts_col: str,
                 "running_n": pa.array([], pa.int64())})
         order, starts, ends, _ts = _sorted_runs(batch, key, ts_col, id_col)
         vals = batch.column(val_col).to_numpy().astype(np.float64)[order]
-        cum = np.cumsum(vals)
-        # subtract each run's preceding total so cumsums restart per key
-        base = np.where(starts > 0, cum[starts - 1], 0.0)
         lens = ends - starts
-        run_sum = cum - np.repeat(base, lens)
+        # per-run cumsum (NOT global-prefix-minus-base): float addition
+        # is non-associative, and the SQL window frame accumulates each
+        # partition left-to-right from ITS OWN first row — this matches
+        # that summation order exactly, so values agree to the last ulp
+        run_sum = np.empty(len(vals), np.float64)
+        for s, e in zip(starts, ends):
+            run_sum[s:e] = np.cumsum(vals[s:e])
         rn = np.arange(len(vals), dtype=np.int64) - \
             np.repeat(starts, lens) + 1
         t = batch.take(pa.array(order, pa.int64()))

@@ -300,9 +300,12 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
             partials_ds = partials_ds.filter(expr=f"bucket in {keep}")
         seg_dir = os.path.join(out_dir, SEGMENTS_DIR)
         dict_dir = os.path.join(out_dir, DICT_DIR)
-        if not completed:  # fresh merge: drop any stale bucket files
-            _clean(seg_dir)
+        if not completed:  # fresh merge: drop any stale bucket files,
+            _clean(seg_dir)  # and any sharded re-shard of the OLD dict
             _clean(dict_dir)
+            from web_search_engine_ray.stages.scorer import \
+                SHARDED_DICT_DIRNAME
+            _clean(os.path.join(out_dir, SHARDED_DICT_DIRNAME))
         n_cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
         if cfg.merge_strategy == "direct":
             # raw-task hash exchange: same semantics, no aggregator-actor
@@ -433,22 +436,29 @@ def _overlapped_fresh_build(corpus: str, out_dir: str, cfg: EngineConfig,
     # a thread overlaps them — this is pure serial time at every
     # parallelism level (Amdahl), worth its own thread
     hot_box: list = []
+    hot_errs: list[BaseException] = []
     t_hot0 = _time.time()
-    th_hot = threading.Thread(
-        target=lambda: hot_box.append(
-            sorted(detect_hot_terms_from_parquet(corpus, cfg))),
-        daemon=True)
+
+    def _hot_target():
+        try:
+            hot_box.append(sorted(detect_hot_terms_from_parquet(corpus, cfg)))
+        except BaseException as e:      # re-raised at join, not an
+            hot_errs.append(e)          # IndexError on hot_box[0]
+
+    th_hot = threading.Thread(target=_hot_target, daemon=True)
     t0 = _time.time()
     th_hot.start()
     offsets, n_docs = conversation_offsets_from_parquet(corpus)
     offsets_ref = ray.put(offsets)
     metrics["offsets"] = round(_time.time() - t0, 3)
 
+    from web_search_engine_ray.stages.scorer import SHARDED_DICT_DIRNAME
     doc_dir = os.path.join(out_dir, DOC_TABLE_DIR)
     partials_dir = os.path.join(out_dir, PARTIALS_DIR)
     seg_dir = os.path.join(out_dir, SEGMENTS_DIR)
     dict_dir = os.path.join(out_dir, DICT_DIR)
-    for d in (doc_dir, partials_dir, seg_dir, dict_dir):
+    for d in (doc_dir, partials_dir, seg_dir, dict_dir,
+              os.path.join(out_dir, SHARDED_DICT_DIRNAME)):
         _clean(d)
 
     errs: list[BaseException] = []
@@ -471,6 +481,8 @@ def _overlapped_fresh_build(corpus: str, out_dir: str, cfg: EngineConfig,
         # hot_terms must finish first (it feeds A1's salt decisions);
         # it has been running alongside the offsets pass since t0.
         th_hot.join()
+        if hot_errs:
+            raise hot_errs[0]
         hot = hot_box[0]
         metrics["hot_terms"] = round(_time.time() - t_hot0, 3)
         t1 = _time.time()
@@ -501,6 +513,8 @@ def _overlapped_fresh_build(corpus: str, out_dir: str, cfg: EngineConfig,
 
         th_doc = _run("doc_table", _write_doc_table)
         th_hot.join()                       # running since t0
+        if hot_errs:
+            raise hot_errs[0]
         hot = hot_box[0]
         metrics["hot_terms"] = round(_time.time() - t_hot0, 3)
         th_doc.join()

@@ -468,20 +468,15 @@ def phrase_search(index_dir: str, docs: "ray.data.Dataset",
     standard non-positional fallback and touches only |candidates|
     docs."""
     from web_search_engine_ray.spec import tokenize
-    from web_search_engine_ray.stages.scorer import (SHARDED_DICT_DIRNAME,
-                                                     Dictionary,
-                                                     ShardedDictionary)
+    from web_search_engine_ray.stages.scorer import load_dictionary
     from web_search_engine_ray.state.manifest import read_stats
     # driver side: dictionary METADATA lookups only (df per term — the
     # shard planner's input); posting decode happens in the tasks.
-    # When the term-range-sharded dictionary exists, use it — the
-    # driver then touches O(phrase terms) shards instead of
+    # When a CURRENT term-range-sharded dictionary exists (fingerprint
+    # matches the live index — stale copies from a rebuild are skipped),
+    # the driver touches O(phrase terms) shards instead of
     # materializing the whole vocab.
-    if os.path.exists(os.path.join(index_dir, SHARDED_DICT_DIRNAME,
-                                   "_manifest.json")):
-        dictionary = ShardedDictionary(index_dir)
-    else:
-        dictionary = Dictionary.load(index_dir)
+    dictionary = load_dictionary(index_dir)
     n_docs = int(read_stats(index_dir)["max_doc_id"]) + 1
     if max_shards is None:
         max_shards = max(1, int(ray.cluster_resources().get("CPU", 4)))

@@ -332,7 +332,12 @@ def rollup_counts(ds: "ray.data.Dataset", keys: list[str]) -> pa.Table:
             .aggregate([([], "count_all")])
         return g.rename_columns(keys + ["n"])
 
-    finest = pa.concat_tables(list(
+    types = dict(zip(ds.schema().names, ds.schema().types))
+    seed = pa.table({**{k: pa.array([], types[k]) for k in keys},
+                     "n": pa.array([], pa.int64())})
+    # seeded so an EMPTY corpus yields zero finest cells (not an
+    # ArrowInvalid) and the rollup still emits the SQL grand-total row
+    finest = pa.concat_tables([seed] + list(
         ds.select_columns(keys).map_batches(
             _cells, batch_format="pyarrow", zero_copy_batch=True)
         .iter_batches(batch_format="pyarrow")))

@@ -142,12 +142,53 @@ def build_sharded_dictionary(index_dir: str,
     shards = sorted((dict(r) for r in rows if r["n"]),
                     key=lambda r: r["first_term"])
     manifest = {"n_terms": int(sum(r["n"] for r in shards)),
-                "shards": shards}
+                "shards": shards,
+                # pin the index this re-shard was built FROM: a rebuild
+                # into the same out_dir changes the stats fingerprint,
+                # and readers then fall back to the live dictionary
+                # instead of silently planning from stale df/buckets
+                "index_fingerprint": index_fingerprint(index_dir)}
     mpath = os.path.join(out, "_manifest.json")
     with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f)
     os.replace(mpath + ".tmp", mpath)
     return manifest
+
+
+def index_fingerprint(index_dir: str) -> str:
+    """Stable identity of the index currently on disk: sha1 over its
+    canonicalized stats JSON (config_hash + corpus counts + BM25
+    params).  Cheap (stats is one tiny file) and changes on any rebuild
+    that could invalidate derived artifacts like the sharded
+    dictionary."""
+    import hashlib
+    import json
+    return hashlib.sha1(json.dumps(
+        read_stats(index_dir), sort_keys=True).encode()).hexdigest()
+
+
+def sharded_dictionary_current(index_dir: str) -> bool:
+    """True iff dictionary_sharded/ exists AND was built from the index
+    now on disk (manifest fingerprint matches the current stats)."""
+    import json
+    mpath = os.path.join(index_dir, SHARDED_DICT_DIRNAME, "_manifest.json")
+    if not os.path.exists(mpath):
+        return False
+    try:
+        with open(mpath) as f:
+            m = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return m.get("index_fingerprint") == index_fingerprint(index_dir)
+
+
+def load_dictionary(index_dir: str, prefer_sharded: bool = True):
+    """The one dictionary-open path: the term-range-sharded form when it
+    exists AND matches the live index, else the full Dictionary.  Stale
+    sharded copies (rebuild into the same out_dir) are never used."""
+    if prefer_sharded and sharded_dictionary_current(index_dir):
+        return ShardedDictionary(index_dir)
+    return Dictionary.load(index_dir)
 
 
 class ShardedDictionary:
@@ -246,9 +287,14 @@ class IndexReader:
         else:
             self._shared_segments = None
             # sorted Arrow-native dictionary, binary-search lookups;
-            # "sharded" keeps only touched term-range shards resident
+            # "sharded" keeps only touched term-range shards resident —
+            # but a sharded copy left over from a PREVIOUS build of this
+            # out_dir is stale metadata: fall back to the live full
+            # dictionary when the fingerprint mismatches
             self.dictionary = ShardedDictionary(index_dir) \
-                if dict_mode == "sharded" else Dictionary.load(index_dir)
+                if dict_mode == "sharded" and \
+                sharded_dictionary_current(index_dir) \
+                else Dictionary.load(index_dir)
             # dense doc_len array from the DL_SENTINEL posting list
             # (first row of its bucket file — '\x00' sorts before any
             # real term)
