@@ -74,11 +74,17 @@ def build_and_query(corpus_path: str, out_dir: str,
     from web_search_engine_ray.pipelines.build import build_index
     from web_search_engine_ray.pipelines.query import run_queries
     from web_search_engine_ray.sources.transcripts import gen_queries
+    from web_search_engine_ray.spec import EngineConfig
+    # WSE_CKPT_PARTIALS=0 skips the mid-build partials checkpoint (a
+    # corpus-sized extra bus crossing) — the fresh-build throughput
+    # config; default 1 keeps the resumable form the driver exercises
+    cfg = EngineConfig(checkpoint_partials=os.environ.get(
+        "WSE_CKPT_PARTIALS", "1") == "1")
     build_secs = []
     for _ in range(max(1, build_samples)):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
-        stats = build_index(corpus_path, out_dir)
+        stats = build_index(corpus_path, out_dir, cfg)
         build_secs.append(time.time() - t0)
     build_sec = statistics.median(build_secs)
     n_turns = stats["n_docs"]
@@ -183,12 +189,18 @@ def _scaling_child(num_cpus: int) -> dict:
     _init_ray(num_cpus)
     corpus = ensure_corpus(SCALING_CONVS)
     scratch = os.environ.get("WSE_SCRATCH", "/dev/shm")
+    # scaling children measure the FRESH-build job: no mid-build
+    # checkpoint unless explicitly requested (one fewer corpus-sized
+    # bus crossing; both levels of a window share the same config, and
+    # the JSON discloses which was used)
+    os.environ.setdefault("WSE_CKPT_PARTIALS", "0")
     out = os.path.join(scratch, f"wse_bench_idx_{num_cpus}")
     # the scaling metric is BUILD throughput; the latency/serve loop is
     # benchmarked by the main bench (WSE_SCALING_QUERIES=1 restores it)
     res = build_and_query(
         corpus, out,
         with_queries=os.environ.get("WSE_SCALING_QUERIES", "0") == "1")
+    res["checkpoint_partials"] = os.environ["WSE_CKPT_PARTIALS"] == "1"
     _sh.rmtree(out, ignore_errors=True)
     import ray
     ray.shutdown()

@@ -206,3 +206,40 @@ def test_overlapped_build_identical_segments(tmp_path_factory):
                          format="parquet").to_table().sort_by("doc_id")
             for o in outs]
     assert tbls[0].equals(tbls[1])
+
+
+def test_no_checkpoint_build_identical_and_restarts(tmp_path_factory):
+    """checkpoint_partials=False (the fresh-build throughput config)
+    must (a) produce byte-identical segments, (b) write NO partials
+    checkpoint, and (c) on a simulated crash before segments, a resume
+    re-derives partials instead of trying to read the absent
+    checkpoint."""
+    import dataclasses
+
+    from web_search_engine_ray.spec import EngineConfig
+
+    root = tmp_path_factory.mktemp("nockpt")
+    src = str(root / "corpus")
+    gen_transcripts(N_CONVS).write_parquet(src)
+    ref = str(root / "ref")
+    build_index(src, ref, EngineConfig())
+    nc = str(root / "nc")
+    cfg = dataclasses.replace(EngineConfig(), checkpoint_partials=False)
+    build_index(src, nc, cfg)
+    assert _bucket_hashes(ref) == _bucket_hashes(nc)
+    assert not os.path.exists(os.path.join(nc, "partials"))
+    with open(os.path.join(nc, "manifest.json")) as f:
+        man = json.load(f)
+    assert man["stages"]["partials"]["checkpointed"] is False
+
+    # crash before segments: resume must restart partials, not read a
+    # checkpoint that was never written
+    shutil.rmtree(os.path.join(nc, "segments"))
+    shutil.rmtree(os.path.join(nc, "dictionary"))
+    for stage in ("segments", "finalize"):
+        man["stages"].pop(stage, None)
+    man["buckets"] = {}
+    with open(os.path.join(nc, "manifest.json"), "w") as f:
+        json.dump(man, f)
+    build_index(src, nc, cfg, resume=True)
+    assert _bucket_hashes(nc) == _bucket_hashes(ref)

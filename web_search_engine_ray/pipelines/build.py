@@ -138,6 +138,14 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
     import time as _time
     os.makedirs(out_dir, exist_ok=True)
     man = Manifest.load_or_create(out_dir, cfg.config_hash(), resume)
+    # a prior run with checkpoint_partials=False has no persisted
+    # partials to resume the merge from: treat the stage as not-done so
+    # the restart re-derives them (restart-from-scratch is the
+    # documented trade of skipping the checkpoint)
+    _p = man.data["stages"].get("partials", {})
+    if _p.get("done") and not _p.get("checkpointed", True) \
+            and not man.done("segments"):
+        del man.data["stages"]["partials"]
     _t0 = _time.time()
     _metrics: dict[str, float] = {}
 
@@ -179,7 +187,7 @@ def build_index(corpus: "ray.data.Dataset | str", out_dir: str,
     overlap_ok = (
         cfg.overlap_build_stages and isinstance(corpus, str)
         and input_kind == "transcripts" and not filter_expr and not dedup
-        and cfg.checkpoint_partials and cfg.materialize_partials
+        and cfg.materialize_partials
         and cfg.merge_strategy == "direct"
         and not any(man.done(s) for s in (
             "doc_table", "stats", "hot_terms", "partials", "segments"))
@@ -545,15 +553,21 @@ def _overlapped_fresh_build(corpus: str, out_dir: str, cfg: EngineConfig,
         metrics["partials"] = round(_time.time() - t1, 3)
 
     # the checkpoint write (IO-bound) overlaps the merge (CPU-bound);
-    # both consume the same materialized blocks
-    th_ckpt = _run("partials_ckpt",
-                   lambda: live.write_parquet(partials_dir,
-                                              compression="zstd"))
+    # both consume the same materialized blocks.  When the caller opts
+    # out of mid-build resumability (cfg.checkpoint_partials=False) the
+    # write is skipped entirely — on a bus-bound host that is one fewer
+    # corpus-sized crossing (compress + copy) competing with the merge
+    th_ckpt = None
+    if cfg.checkpoint_partials:
+        th_ckpt = _run("partials_ckpt",
+                       lambda: live.write_parquet(partials_dir,
+                                                  compression="zstd"))
     t2 = _time.time()
     n_cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
     bucket_rows = direct_merge(live, seg_dir, dict_dir, cfg.salt_s, n_cpus)
     metrics["segments"] = round(_time.time() - t2, 3)
-    th_ckpt.join()
+    if th_ckpt is not None:
+        th_ckpt.join()
     if errs:
         raise errs[0]
 
@@ -570,7 +584,7 @@ def _overlapped_fresh_build(corpus: str, out_dir: str, cfg: EngineConfig,
     }
     man.mark_done("stats", **stats)
     man.mark_done("hot_terms", hot_terms=hot)
-    man.mark_done("partials", checkpointed=True)
+    man.mark_done("partials", checkpointed=cfg.checkpoint_partials)
     man.record_buckets(bucket_rows)
     man.mark_done("segments", n_buckets=len(man.data["buckets"]))
 

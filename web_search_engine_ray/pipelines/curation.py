@@ -13,6 +13,10 @@ corpus (doc_id:int64, text:string, ...):
   streams through one vectorized ``map_batches`` — no corpus shuffle.
 - ``train_val_split`` — salt-free deterministic hash split on doc_id
   (md5 hex prefix threshold), reproducible across runs / partitionings.
+- ``quality_gate_ds`` / ``curate_corpus_ds`` — the Dataset-native
+  (streaming) forms of the percentile gate and the composed curation
+  pipeline; the same-named table-returning functions are thin
+  collecting wrappers for the sf-scale oracle queries.
 - ``repetition_stats`` — per-doc duplicate-token / duplicate-2-gram /
   top-2-gram fractions (the Gopher repetition quality gates).
 - ``phrase_search``  — exact token-adjacency phrase match: candidate
@@ -102,15 +106,13 @@ def benchmark_grams(bench: "ray.data.Dataset", k: int = DECONTAM_K
     return np.unique(np.concatenate(chunks))
 
 
-def decontaminate(corpus: "ray.data.Dataset", bench: "ray.data.Dataset",
-                  k: int = DECONTAM_K) -> pa.Table:
-    """Corpus docs sharing >= 1 distinct k-gram with the benchmark set.
-
-    Returns (doc_id, n_shared_grams) sorted by doc_id — n_shared_grams
-    counts the doc's DISTINCT contaminated grams (the usual removal /
-    reporting signal).  One benchmark pass + one corpus ``map_batches``
-    against the ``ray.put``-broadcast gram-hash set; the corpus is never
-    shuffled and never leaves streaming execution."""
+def decontaminate_ds(corpus: "ray.data.Dataset", bench: "ray.data.Dataset",
+                     k: int = DECONTAM_K) -> "ray.data.Dataset":
+    """Streaming form of :func:`decontaminate`: the (doc_id,
+    n_shared_grams) contamination report as a Dataset — use this when
+    the contaminated set itself may be large (e.g. a benchmark that
+    leaked wholesale into the crawl), writing it with ``write_parquet``
+    instead of collecting."""
     bench_ref = ray.put(benchmark_grams(bench, k))
 
     def _check(batch: pa.Table) -> pa.Table:
@@ -130,8 +132,22 @@ def decontaminate(corpus: "ray.data.Dataset", bench: "ray.data.Dataset",
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "n_shared_grams": pa.array(hits[keep], pa.int64())})
 
-    parts = corpus.select_columns(["doc_id", "text"]).map_batches(
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
         _check, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decontaminate(corpus: "ray.data.Dataset", bench: "ray.data.Dataset",
+                  k: int = DECONTAM_K) -> pa.Table:
+    """Corpus docs sharing >= 1 distinct k-gram with the benchmark set.
+
+    Returns (doc_id, n_shared_grams) sorted by doc_id — n_shared_grams
+    counts the doc's DISTINCT contaminated grams (the usual removal /
+    reporting signal).  One benchmark pass + one corpus ``map_batches``
+    against the ``ray.put``-broadcast gram-hash set; the corpus is never
+    shuffled and never leaves streaming execution.  This collecting
+    wrapper suits the usual case (contamination is report-sized); see
+    decontaminate_ds when it may not be."""
+    parts = decontaminate_ds(corpus, bench, k)
     tbl = pa.concat_tables(
         [b for b in parts.iter_batches(batch_format="pyarrow")]
         or [pa.table({"doc_id": pa.array([], pa.int64()),
