@@ -292,7 +292,9 @@ def add_split_column(ds: "ray.data.Dataset", val_frac: float = 0.1
 
 def curate_corpus_ds(docs: "ray.data.Dataset", bench_source: str,
                      k: int = DECONTAM_K, q: float = 0.5,
-                     val_frac: float = 0.1) -> "ray.data.Dataset":
+                     val_frac: float = 0.1,
+                     checkpoint_dir: str | None = None
+                     ) -> "ray.data.Dataset":
     """The flagship training-data story, composed from this module's
     operators in the order a real pre-training pipeline runs them:
 
@@ -310,9 +312,14 @@ def curate_corpus_ds(docs: "ray.data.Dataset", bench_source: str,
     Returns a STREAMING Dataset of (doc_id, lang, n_tokens, split) —
     every stage composes Dataset->Dataset; the only driver-side state is
     output-bounded (contaminated-id table, per-lang thresholds).  A
-    100-TB caller follows with ``write_parquet``.  The survivor lineage
-    re-executes once per quality_gate pass (documented there) — at
-    10^12 docs checkpoint the survivor ids between 2 and 3 instead."""
+    100-TB caller follows with ``write_parquet``.
+
+    The survivor lineage (dedup groupby + semi/anti joins) is consumed
+    THREE times downstream (quality threshold pass, gate pass, final
+    consumption); pure lineage re-executes it each time.
+    ``checkpoint_dir`` lands the stage-2 survivors once as parquet and
+    re-reads them instead — the standard mid-pipeline checkpoint for a
+    long curation chain (also the resume point after a crash)."""
     from web_search_engine_ray.functions.grouping import anti_join, semi_join
     from web_search_engine_ray.pipelines.analysis import exact_dedup
 
@@ -324,8 +331,18 @@ def curate_corpus_ds(docs: "ray.data.Dataset", bench_source: str,
     if cont.num_rows:
         kept = anti_join(kept, ray.data.from_arrow(
             cont.select(["doc_id"])), on="doc_id")
-    gated = quality_gate_ds(kept.select_columns(["doc_id", "lang", "text"]),
-                            q=q)
+    kept = kept.select_columns(["doc_id", "lang", "text"])
+    if checkpoint_dir is not None:
+        surv_dir = os.path.join(checkpoint_dir, "survivors")
+        if not os.path.exists(os.path.join(surv_dir, "_DONE")):
+            import shutil
+            shutil.rmtree(surv_dir, ignore_errors=True)
+            kept.write_parquet(surv_dir, compression="zstd")
+            with open(os.path.join(surv_dir, "_DONE"), "w") as f:
+                f.write("ok")
+        kept = ray.data.read_parquet(
+            surv_dir, columns=["doc_id", "lang", "text"])
+    gated = quality_gate_ds(kept, q=q)
     return add_split_column(gated, val_frac)
 
 
@@ -335,14 +352,23 @@ def curate_corpus(docs: "ray.data.Dataset", bench_source: str,
     """Driver-query wrapper over :func:`curate_corpus_ds`: collects and
     sorts the curated rows for the sf-scale oracle comparison.  The
     COLLECTION lives here, in the query, on purpose — the operator
-    itself streams; use curate_corpus_ds + write_parquet at scale."""
-    out = pa.concat_tables(list(
-        curate_corpus_ds(docs, bench_source, k=k, q=q, val_frac=val_frac)
-        .iter_batches(batch_format="pyarrow")) or
-        [pa.table({"doc_id": pa.array([], pa.int64()),
-                   "lang": pa.array([], pa.string()),
-                   "n_tokens": pa.array([], pa.int64()),
-                   "split": pa.array([], pa.string())})])
+    itself streams; use curate_corpus_ds + write_parquet at scale.
+    Uses a throwaway survivor checkpoint so the dedup/join lineage runs
+    once instead of three times."""
+    import shutil
+    import tempfile
+    ckpt = tempfile.mkdtemp(prefix="wse_curate_")
+    try:
+        out = pa.concat_tables(list(
+            curate_corpus_ds(docs, bench_source, k=k, q=q,
+                             val_frac=val_frac, checkpoint_dir=ckpt)
+            .iter_batches(batch_format="pyarrow")) or
+            [pa.table({"doc_id": pa.array([], pa.int64()),
+                       "lang": pa.array([], pa.string()),
+                       "n_tokens": pa.array([], pa.int64()),
+                       "split": pa.array([], pa.string())})])
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return out.sort_by([("doc_id", "ascending")])
 
 
