@@ -371,3 +371,22 @@ def test_phrase_search_rejects_stale_sharded_dictionary(
     assert out.column("doc_id").to_pylist() == [0, 1]
     assert curation.phrase_search(idx, docs2, [(1, "hash join")]) \
         .num_rows == 0
+
+
+def test_quality_gate_precomputed_n_tokens_matches(ray_session):
+    """quality_gate_ds must accept inputs already carrying n_tokens (the
+    skinny survivor checkpoint) and produce the same survivors as the
+    tokenizing path."""
+    from web_search_engine_ray.spec import tokenize
+    docs = _curate_fixture().select_columns(["doc_id", "lang", "text"])
+    want = curation.quality_gate(docs, q=0.5)
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        n = [len(tokenize(t)) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    pre = docs.map_batches(_stats, batch_format="pyarrow")
+    got = curation.quality_gate(pre, q=0.5)
+    assert got.equals(want)

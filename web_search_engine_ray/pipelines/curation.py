@@ -333,15 +333,30 @@ def curate_corpus_ds(docs: "ray.data.Dataset", bench_source: str,
             cont.select(["doc_id"])), on="doc_id")
     kept = kept.select_columns(["doc_id", "lang", "text"])
     if checkpoint_dir is not None:
+        # tokenize ONCE at checkpoint time and land only the skinny
+        # (doc_id, lang, n_tokens) stats — the gate's two downstream
+        # passes then stream 3 fixed-width columns and never re-read
+        # or re-tokenize the text
+        from web_search_engine_ray.spec import tokenize
+
+        def _stats(batch: pa.Table) -> pa.Table:
+            n_tok = [len(tokenize(t))
+                     for t in batch.column("text").to_pylist()]
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "lang": batch.column("lang"),
+                             "n_tokens": pa.array(n_tok, pa.int64())})
+
         surv_dir = os.path.join(checkpoint_dir, "survivors")
         if not os.path.exists(os.path.join(surv_dir, "_DONE")):
             import shutil
             shutil.rmtree(surv_dir, ignore_errors=True)
-            kept.write_parquet(surv_dir, compression="zstd")
+            kept.map_batches(_stats, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+                .write_parquet(surv_dir, compression="zstd")
             with open(os.path.join(surv_dir, "_DONE"), "w") as f:
                 f.write("ok")
         kept = ray.data.read_parquet(
-            surv_dir, columns=["doc_id", "lang", "text"])
+            surv_dir, columns=["doc_id", "lang", "n_tokens"])
     gated = quality_gate_ds(kept, q=q)
     return add_split_column(gated, val_frac)
 
@@ -381,7 +396,8 @@ def quality_gate_ds(docs: "ray.data.Dataset", q: float = 0.5
     (quantile_disc) — the percentile-based quality filter every
     training-data pipeline runs before mixing corpora.
 
-    Two streaming passes (both tokenize; the skinny per-doc stats are
+    Two streaming passes (both tokenize unless the input already
+    carries ``n_tokens`` — see below; the skinny per-doc stats are
     NOT materialized — at 10^12 docs re-tokenizing is cheaper than
     landing a corpus-length table):
     1. per-lang thresholds via the shuffle-one-exchange
@@ -396,13 +412,22 @@ def quality_gate_ds(docs: "ray.data.Dataset", q: float = 0.5
     from web_search_engine_ray.pipelines.quantiles import grouped_quantiles
     from web_search_engine_ray.spec import tokenize
 
+    # inputs carrying a precomputed n_tokens column (e.g. the skinny
+    # survivor checkpoint from curate_corpus_ds) skip tokenization
+    # entirely — both passes then stream 3 fixed-width columns
+    pre = "n_tokens" in docs.schema().names
+
     def _stats(batch: pa.Table) -> pa.Table:
+        if pre:
+            return batch.select(["doc_id", "lang", "n_tokens"])
         n_tok = [len(tokenize(t)) for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "lang": batch.column("lang"),
                          "n_tokens": pa.array(n_tok, pa.int64())})
 
-    src = docs.select_columns(["doc_id", "lang", "text"])
+    src = docs.select_columns(
+        ["doc_id", "lang", "n_tokens"] if pre else
+        ["doc_id", "lang", "text"])
     med = grouped_quantiles(src.map_batches(
         _stats, batch_format="pyarrow", zero_copy_batch=True),
         key="lang", col="n_tokens", qs=[q])
