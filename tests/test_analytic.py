@@ -142,3 +142,38 @@ def test_rolling_mean_vs_duckdb(ray_session):
     assert np.allclose(got1.column("rolling_mean").to_numpy(),
                        np.round(base.column("value").to_numpy(), 6),
                        atol=1e-9)
+
+
+def test_rank_in_key_vs_duckdb(ray_session):
+    from web_search_engine_ray.pipelines.analytic import rank_in_key
+    g = np.random.default_rng(11)
+    n = 1500
+    # small integer score domain => heavy ties, so rank / dense_rank /
+    # row_number genuinely diverge
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(g.integers(0, 25, n), pa.int64()),
+        "score": pa.array(g.integers(0, 12, n), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("ev", tbl)
+    for desc, d_sql in ((True, "DESC"), (False, "ASC")):
+        want = con.sql(f"""
+            SELECT event_id, user_id, score,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY score {d_sql}, event_id) AS BIGINT)
+                     AS row_num,
+                   CAST(rank() OVER (PARTITION BY user_id
+                        ORDER BY score {d_sql}) AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER (PARTITION BY user_id
+                        ORDER BY score {d_sql}) AS BIGINT) AS dense_rnk
+            FROM ev ORDER BY event_id""").arrow()
+        for nparts in (1, 4):
+            got = _collect(rank_in_key(
+                ray.data.from_arrow(tbl).repartition(6), key="user_id",
+                order_col="score", id_col="event_id", descending=desc,
+                num_partitions=nparts))
+            for col in ("event_id", "user_id", "score", "row_num",
+                        "rnk", "dense_rnk"):
+                assert got.column(col).to_pylist() == \
+                    want.column(col).to_pylist(), (col, desc, nparts)

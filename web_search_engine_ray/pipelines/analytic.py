@@ -132,6 +132,79 @@ def rolling_mean(ds: "ray.data.Dataset", key: str, ts_col: str,
         zero_copy_batch=True)
 
 
+def rank_in_key(ds: "ray.data.Dataset", key: str, order_col: str,
+                id_col: str, descending: bool = True,
+                num_partitions: int | None = None) -> "ray.data.Dataset":
+    """ROW_NUMBER / RANK / DENSE_RANK within each key, ordered by
+    (order_col [DESC|ASC], id) — exactly::
+
+        row_number() OVER (PARTITION BY key ORDER BY order_col [DESC], id)
+        rank()       OVER (PARTITION BY key ORDER BY order_col [DESC])
+        dense_rank() OVER (PARTITION BY key ORDER BY order_col [DESC])
+
+    ``rank``/``dense_rank`` tie on equal ``order_col`` values (the id
+    tie-break applies only to ``row_num``'s total order, matching the
+    SQL frames above).  Same distributed shape as the other analytic
+    ops: ONE hash exchange on ``key``, then a single per-partition
+    lexsort + run-sliced vectorized pass; no global sort, no driver
+    state.  Emits (id, key, order_col, row_num, rnk, dense_rnk).
+
+    Partitioning assumption: all rows of a key fit one hash partition
+    (module docstring); ``order_col`` must be numeric when
+    ``descending=True`` (sign-flip sort key).
+    """
+    cols = list(dict.fromkeys([id_col, key, order_col]))
+    sch = ds.schema()
+    key_t = sch.types[sch.names.index(key)]
+    id_t = sch.types[sch.names.index(id_col)]
+    val_t = sch.types[sch.names.index(order_col)]
+
+    def _part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], id_t),
+                key: pa.array([], key_t),
+                order_col: pa.array([], val_t),
+                "row_num": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+                "dense_rnk": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(batch.column(key))
+        kcode = np.asarray(enc.combine_chunks().indices.to_numpy(
+            zero_copy_only=False), np.int64)
+        vals = batch.column(order_col).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sort_val = -vals if descending else vals
+        order = np.lexsort((ids, sort_val, kcode))
+        kc, vv = kcode[order], vals[order]
+        starts, ends = group_slices([kc])
+        n = len(order)
+        idx = np.arange(n, dtype=np.int64)
+        lens = ends - starts
+        run_start = np.repeat(starts, lens)
+        # value-run boundaries: a new (key, value) pair starts here
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (kc[1:] != kc[:-1]) | (vv[1:] != vv[:-1])
+        vstart = np.maximum.accumulate(np.where(change, idx, 0))
+        c = np.cumsum(change)
+        row_num = idx - run_start + 1
+        rnk = vstart - run_start + 1
+        dense = c - c[run_start] + 1
+        t = batch.take(pa.array(order, pa.int64()))
+        return pa.table({
+            id_col: t.column(id_col),
+            key: t.column(key),
+            order_col: t.column(order_col),
+            "row_num": pa.array(row_num, pa.int64()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "dense_rnk": pa.array(dense, pa.int64())})
+
+    return hash_partition(ds.select_columns(cols), [key],
+                          num_partitions).map_batches(
+        _part, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def shift_by_key(ds: "ray.data.Dataset", key: str, ts_col: str,
                  shift_col: str, id_col: str, offset: int = 1,
                  out_col: str | None = None,

@@ -362,6 +362,27 @@ def quality_topk_per_lang(sf_dir: str) -> pa.Table:
                       id_col="doc_id")
 
 
+def docs_rank(sf_dir: str) -> pa.Table:
+    """Per-lang ROW_NUMBER / RANK / DENSE_RANK of docs by token count
+    (DESC, doc_id tie-break) — exercises analytic.rank_in_key; the
+    integer n_tokens column ties often, so rank vs dense_rank vs
+    row_number genuinely diverge."""
+    from web_search_engine_ray.pipelines.analysis import doc_tokens_batch
+    from web_search_engine_ray.pipelines.analytic import rank_in_key
+
+    def with_lang(batch: pa.Table) -> pa.Table:
+        toks = doc_tokens_batch(batch)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "n_tokens": toks.column("n_tokens")})
+
+    ds = _docs_ds(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        with_lang, batch_format="pyarrow", zero_copy_batch=True)
+    out = rank_in_key(ds, key="lang", order_col="n_tokens",
+                      id_col="doc_id", descending=True)
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
 def events_hourly(sf_dir: str) -> pa.Table:
     """Tumbling-window aggregate: per (event_type, hour) count + sum —
     exercises pipelines/window.py:tumbling_window_agg."""
@@ -1333,6 +1354,20 @@ SELECT event_id, user_id,
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
          AS rolling_mean
 FROM events ORDER BY event_id""",
+    "docs_rank": """
+WITH s AS (SELECT doc_id, lang,
+                  len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                    AS n_tokens
+           FROM documents)
+SELECT doc_id, lang, n_tokens,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY n_tokens DESC, doc_id) AS BIGINT)
+         AS row_num,
+       CAST(rank() OVER (PARTITION BY lang ORDER BY n_tokens DESC)
+            AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY lang ORDER BY n_tokens DESC)
+            AS BIGINT) AS dense_rnk
+FROM s ORDER BY doc_id""",
     "docs_rollup": """
 SELECT lang, source, count(*)::BIGINT AS n_docs
 FROM documents GROUP BY ROLLUP(lang, source)
@@ -1481,4 +1516,5 @@ QUERIES = {
     "docs_sample": docs_sample,
     "lang_distribution": lang_distribution,
     "winnow_fingerprint": winnow_fingerprint,
+    "docs_rank": docs_rank,
 }
