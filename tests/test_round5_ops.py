@@ -1,0 +1,242 @@
+"""Round-5 additions: NTILE, funnel (ordered-pattern), set ops
+(INTERSECT/EXCEPT), fixed-width histogram — each vs DuckDB SQL on
+seeded synthetic streams, plus the edge cases SQL semantics pin
+(uneven tile splits, strict-ts funnel chains, duplicate rows on both
+set-op sides, negative values under floor binning)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from web_search_engine_ray.pipelines.analytic import ntile_in_key
+from web_search_engine_ray.pipelines.funnel import funnel_counts
+from web_search_engine_ray.pipelines.quantiles import value_histogram
+from web_search_engine_ray.pipelines.relational import (dataset_except,
+                                                        dataset_intersect)
+
+
+def _events(seed=11, n=900, n_keys=23):
+    g = np.random.default_rng(seed)
+    base = np.datetime64("2024-05-01", "us")
+    ts = base + g.integers(0, 10**8, n).astype("timedelta64[us]")
+    ts[100:110] = ts[90:100]       # planted duplicate timestamps
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(g.integers(0, n_keys, n), pa.int64()),
+        "event_type": pa.array(
+            g.choice(["a", "b", "c", "d"], n).tolist(), pa.string()),
+        "value": pa.array(g.uniform(-50, 50, n)),
+    })
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")),
+                            promote_options="default")
+
+
+def test_ntile_vs_duckdb(ray_session):
+    tbl = _events()
+    con = duckdb.connect()
+    con.register("ev", tbl)
+    # n_keys=23 over 900 rows -> run lengths not divisible by 5: the
+    # uneven first-r-tiles-get-one-extra rule is exercised on most keys
+    want = con.sql("""
+        SELECT event_id,
+               CAST(ntile(5) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS tile
+        FROM ev ORDER BY event_id""").arrow()
+    got = _collect(ntile_in_key(
+        ray.data.from_arrow(tbl), key="user_id", ts_col="ts",
+        id_col="event_id", n_tiles=5)).sort_by("event_id")
+    assert got.column("tile").to_pylist() == want.column("tile").to_pylist()
+
+
+def test_ntile_more_tiles_than_rows(ray_session):
+    # run shorter than n_tiles: q=0, every row its own tile 1..L
+    tbl = pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7], pa.int64())})
+    got = _collect(ntile_in_key(
+        ray.data.from_arrow(tbl), key="user_id", ts_col="ts",
+        id_col="event_id", n_tiles=10)).sort_by("event_id")
+    assert got.column("tile").to_pylist() == [1, 2, 3]
+
+
+def _funnel_sql(con, steps):
+    parts, prev = [], None
+    for i, s in enumerate(steps, 1):
+        if prev is None:
+            con.sql(f"""CREATE OR REPLACE TEMP VIEW s{i} AS
+                SELECT user_id, min(ts) AS t FROM ev
+                WHERE event_type = '{s}' GROUP BY user_id""")
+        else:
+            con.sql(f"""CREATE OR REPLACE TEMP VIEW s{i} AS
+                SELECT e.user_id, min(e.ts) AS t
+                FROM ev e JOIN s{i-1} p USING (user_id)
+                WHERE e.event_type = '{s}' AND e.ts > p.t
+                GROUP BY e.user_id""")
+        prev = s
+        parts.append(f"(SELECT count(*) FROM s{i})")
+    return [con.sql(f"SELECT {p}").fetchone()[0] for p in parts]
+
+
+def test_funnel_vs_duckdb(ray_session):
+    tbl = _events()
+    con = duckdb.connect()
+    con.register("ev", tbl)
+    steps = ["a", "b", "c"]
+    want = _funnel_sql(con, steps)
+    got = funnel_counts(ray.data.from_arrow(tbl), key="user_id",
+                        ts_col="ts", type_col="event_type", steps=steps,
+                        id_col="event_id")
+    assert got.column("n_keys").to_pylist() == want
+    assert got.column("event_type").to_pylist() == steps
+
+
+def test_funnel_strict_ts_and_greedy(ray_session):
+    # user 1: a@t1, b@t1 (same ts -> strict > rejects), b@t3 -> reaches b
+    # user 2: a@t5, b@t4 (before a) -> stops at a
+    # user 3: never did a -> counts nowhere
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(6, dtype=np.int64)),
+        "ts": pa.array(np.array([1, 1, 3, 5, 4, 9], "datetime64[us]"),
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["a", "b", "b", "a", "b", "b"],
+                               pa.string())})
+    got = funnel_counts(ray.data.from_arrow(tbl), key="user_id",
+                        ts_col="ts", type_col="event_type",
+                        steps=["a", "b"], id_col="event_id")
+    assert got.column("n_keys").to_pylist() == [2, 1]
+
+
+def test_funnel_absent_step_type(ray_session):
+    tbl = _events()
+    got = funnel_counts(ray.data.from_arrow(tbl), key="user_id",
+                        ts_col="ts", type_col="event_type",
+                        steps=["a", "zz", "b"], id_col="event_id")
+    n = got.column("n_keys").to_pylist()
+    assert n[0] > 0 and n[1] == 0 and n[2] == 0
+
+
+def test_set_ops_vs_duckdb(ray_session):
+    g = np.random.default_rng(3)
+    left = pa.table({"k": pa.array(g.integers(0, 40, 500), pa.int64()),
+                     "s": pa.array(g.choice(["x", "y"], 500).tolist())})
+    right = pa.table({"k": pa.array(g.integers(20, 60, 500), pa.int64()),
+                      "s": pa.array(g.choice(["x", "y"], 500).tolist())})
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for op, fn in (("INTERSECT", dataset_intersect),
+                   ("EXCEPT", dataset_except)):
+        want = con.sql(f"""SELECT k, s FROM l {op} SELECT k, s FROM r
+                           ORDER BY k, s""").arrow()
+        got = _collect(fn(ray.data.from_arrow(left),
+                          ray.data.from_arrow(right),
+                          keys=["k", "s"])).sort_by(
+            [("k", "ascending"), ("s", "ascending")])
+        assert got.column("k").to_pylist() == want.column("k").to_pylist()
+        assert got.column("s").to_pylist() == want.column("s").to_pylist()
+
+
+def test_set_ops_disjoint_and_empty(ray_session):
+    a = pa.table({"k": pa.array([1, 1, 2], pa.int64())})
+    b = pa.table({"k": pa.array([3, 3], pa.int64())})
+    inter = dataset_intersect(ray.data.from_arrow(a),
+                              ray.data.from_arrow(b), keys=["k"])
+    assert inter.count() == 0
+    assert inter.schema().names == ["k"]   # empty keeps the key schema
+    exc = _collect(dataset_except(ray.data.from_arrow(a),
+                                  ray.data.from_arrow(b), keys=["k"]))
+    assert sorted(exc.column("k").to_pylist()) == [1, 2]
+
+
+def test_histogram_vs_duckdb_negative_values(ray_session):
+    tbl = _events()  # value in [-50, 50): negative floor bins exercised
+    con = duckdb.connect()
+    con.register("ev", tbl)
+    want = con.sql("""
+        SELECT CAST(floor((value - (-60.0)) / 12.5) AS BIGINT) AS bin,
+               count(*)::BIGINT AS n
+        FROM ev GROUP BY 1 ORDER BY bin""").arrow()
+    got = value_histogram(ray.data.from_arrow(tbl), col="value",
+                          origin=-60.0, width=12.5)
+    assert got.column("bin").to_pylist() == want.column("bin").to_pylist()
+    assert got.column("n").to_pylist() == want.column("n").to_pylist()
+    # lo_edge is origin + bin*width rounded to 6
+    assert got.column("lo_edge").to_pylist() == [
+        round(-60.0 + b * 12.5, 6) for b in got.column("bin").to_pylist()]
+
+
+# --- heavy hitters (pipelines/heavy.py) -----------------------------------
+
+def _docs_tbl(seed=7, n_docs=300, vocab=40, doc_len=30):
+    g = np.random.default_rng(seed)
+    # zipf-ish skew so a few trigrams are genuinely heavy
+    words = [f"w{i}" for i in range(vocab)]
+    p = 1.0 / np.arange(1, vocab + 1)
+    p /= p.sum()
+    texts = [" ".join(g.choice(words, size=doc_len, p=p).tolist())
+             for _ in range(n_docs)]
+    return pa.table({"doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+                     "text": pa.array(texts, pa.string())})
+
+
+def _exact_topk_trigrams(tbl, k):
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    return con.sql("""
+WITH toks AS (SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+      AS pos FROM documents),
+g AS (SELECT term || ' ' ||
+             lead(term,1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+             lead(term,2) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+      FROM toks),
+gc AS (SELECT gram, count(*)::BIGINT AS n_occ FROM g
+       WHERE gram IS NOT NULL GROUP BY gram)
+SELECT gram, n_occ FROM gc ORDER BY n_occ DESC, gram LIMIT """ + str(k)) \
+        .arrow()
+
+
+def test_heavy_ngrams_vs_duckdb(ray_session):
+    from web_search_engine_ray.pipelines.heavy import heavy_ngrams
+    tbl = _docs_tbl()
+    want = _exact_topk_trigrams(tbl, 10)
+    got = heavy_ngrams(ray.data.from_arrow(tbl).repartition(6),
+                       n=3, k=10, m=2048)
+    assert got.column("gram").to_pylist() == want.column("gram").to_pylist()
+    assert got.column("n_occ").to_pylist() == \
+        want.column("n_occ").to_pylist()
+
+
+def test_heavy_ngrams_doc_boundaries_not_crossed(ray_session):
+    from web_search_engine_ray.pipelines.heavy import heavy_ngrams
+    # "a b" + "c d": bigram "b c" must NOT exist (cross-doc)
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["a b", "c d"], pa.string())})
+    got = heavy_ngrams(ray.data.from_arrow(tbl), n=2, k=10, m=64)
+    grams = got.column("gram").to_pylist()
+    assert "b c" not in grams
+    assert sorted(grams) == ["a b", "c d"]
+
+
+def test_heavy_ngrams_guard_fires(ray_session):
+    import pytest
+
+    from web_search_engine_ray.pipelines.heavy import heavy_ngrams
+    # flat distribution (all trigrams ~unique) with tiny m: the k-th
+    # count cannot clear N/(m+1) -> loud guard, never a wrong answer
+    g = np.random.default_rng(0)
+    words = [f"u{i}" for i in range(500)]
+    texts = [" ".join(g.choice(words, 40).tolist()) for _ in range(400)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                    "text": pa.array(texts, pa.string())})
+    with pytest.raises(ValueError, match="guarantee violated"):
+        heavy_ngrams(ray.data.from_arrow(tbl), n=3, k=5, m=6)

@@ -205,6 +205,52 @@ def rank_in_key(ds: "ray.data.Dataset", key: str, order_col: str,
         zero_copy_batch=True)
 
 
+def ntile_in_key(ds: "ray.data.Dataset", key: str, ts_col: str,
+                 id_col: str, n_tiles: int,
+                 num_partitions: int | None = None) -> "ray.data.Dataset":
+    """NTILE(n) within each key, ordered by (ts, id) — exactly
+    ``ntile(n) OVER (PARTITION BY key ORDER BY ts, id)``.
+
+    SQL tile-size rule: a run of length L splits into q = L // n rows
+    per tile with the first r = L %% n tiles getting one extra row —
+    position p (0-based) maps to ``p // (q+1)`` while p < r*(q+1), else
+    ``r + (p - r*(q+1)) // q``.  Both branches are one vectorized
+    np.where over the partition; same distributed shape as the other
+    analytic ops (ONE hash exchange, run-sliced kernel, no driver
+    state).  Emits (id, key, tile) with tile in 1..n.
+    """
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    cols = list(dict.fromkeys([id_col, key, ts_col]))
+    sch = ds.schema()
+    key_t = sch.types[sch.names.index(key)]
+    id_t = sch.types[sch.names.index(id_col)]
+
+    def _part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_t),
+                             key: pa.array([], key_t),
+                             "tile": pa.array([], pa.int64())})
+        order, starts, ends, _ts = _sorted_runs(batch, key, ts_col, id_col)
+        lens = ends - starts
+        run_len = np.repeat(lens, lens)
+        pos = np.arange(len(order), dtype=np.int64) - np.repeat(starts, lens)
+        q, r = run_len // n_tiles, run_len % n_tiles
+        fat = r * (q + 1)          # rows covered by the q+1-sized tiles
+        tile = np.where(
+            pos < fat, pos // np.maximum(q + 1, 1),
+            r + (pos - fat) // np.maximum(q, 1)) + 1
+        t = batch.take(pa.array(order, pa.int64()))
+        return pa.table({id_col: t.column(id_col),
+                         key: t.column(key),
+                         "tile": pa.array(tile, pa.int64())})
+
+    return hash_partition(ds.select_columns(cols), [key],
+                          num_partitions).map_batches(
+        _part, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def shift_by_key(ds: "ray.data.Dataset", key: str, ts_col: str,
                  shift_col: str, id_col: str, offset: int = 1,
                  out_col: str | None = None,

@@ -154,3 +154,45 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
                          "value": pa.array([], pa.float64())})
     return pa.concat_tables(parts, promote_options="default") \
         .sort_by([(key, "ascending"), ("q", "ascending")])
+
+
+def value_histogram(ds: "ray.data.Dataset", col: str, origin: float,
+                    width: float) -> pa.Table:
+    """Fixed-width histogram of ``col``: bin = floor((v - origin) /
+    width), emitting only NON-EMPTY bins (matching ``GROUP BY
+    floor((v - origin) / width)`` exactly — both sides compute the same
+    double-precision expression, so bin assignment is bit-identical to
+    the SQL oracle).
+
+    Shape: per-batch np.bincount partials (each batch collapses to
+    <= observed-bin-count rows), summed in a driver dict keyed by bin —
+    driver state is bounded by the number of distinct bins (data-range
+    / width, corpus-size-independent), never by row count.  No shuffle
+    at all.  Returns (bin, lo_edge, n) sorted by bin.
+    """
+    if width <= 0:
+        raise ValueError("width must be > 0")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = batch.column(col).to_numpy().astype(np.float64)
+        b = np.floor((v - origin) / width).astype(np.int64)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    acc: dict[int, int] = {}
+    parts = ds.select_columns([col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+    for t in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for bn, n in zip(t.column("bin").to_pylist(),
+                         t.column("n").to_pylist()):
+            acc[bn] = acc.get(bn, 0) + n
+    bins = sorted(acc)
+    return pa.table({
+        "bin": pa.array(bins, pa.int64()),
+        "lo_edge": pa.array([round(origin + b * width, 6) for b in bins],
+                            pa.float64()),
+        "n": pa.array([acc[b] for b in bins], pa.int64())})

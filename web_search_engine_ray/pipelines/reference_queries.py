@@ -458,7 +458,15 @@ def transcripts_bm25(sf_dir: str) -> pa.Table:
 
 def _collect(ds: "ray.data.Dataset") -> pa.Table:
     batches = list(ds.iter_batches(batch_format="pyarrow"))
-    return pa.concat_tables(batches) if batches else pa.table({})
+    if batches:
+        return pa.concat_tables(batches)
+    # empty result: keep the column schema (a column-less table breaks
+    # downstream sort_by and the driver's column-name comparison)
+    try:
+        sch = ds.schema()
+        return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+    except Exception:
+        return pa.table({})
 
 
 # --- curation ops (pipelines/curation.py) --------------------------------
@@ -1132,6 +1140,115 @@ SELECT media_id, 'image' AS kind,
 FROM hx ORDER BY media_id"""
 
 
+# --- round-5 analytic / set-op / funnel additions -------------------------
+
+def events_ntile(sf_dir: str) -> pa.Table:
+    """NTILE(4) per user ordered by (ts, event_id) — exercises
+    analytic.ntile_in_key (SQL tile-size rule, vectorized)."""
+    from web_search_engine_ray.pipelines.analytic import ntile_in_key
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts"])
+    out = ntile_in_key(ds, key="user_id", ts_col="ts", id_col="event_id",
+                       n_tiles=4)
+    return _collect(out).sort_by([("event_id", "ascending")])
+
+
+def events_lead(sf_dir: str) -> pa.Table:
+    """LEAD(ts) per user ordered by (ts, event_id) — the negative-offset
+    form of analytic.shift_by_key (events_lag covers LAG).  Shifts the
+    timestamp column (like events_lag) so the null at each key's last
+    row is a typed NaT, not a float NaN."""
+    from web_search_engine_ray.pipelines.analytic import shift_by_key
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"])
+    out = shift_by_key(ds, key="user_id", ts_col="ts", shift_col="ts",
+                       id_col="event_id", offset=-1)
+    return _collect(out).sort_by([("event_id", "ascending")])
+
+
+# Funnel step predicates: view -> high-value click -> high-value purchase
+# (the raw view->click->purchase funnel converts every synthetic user, so
+# value gates keep the step counts discriminating).
+FUNNEL_STEPS = [("view", 0.0), ("click", 150.0), ("purchase", 250.0)]
+
+
+def events_funnel(sf_dir: str) -> pa.Table:
+    """Ordered-pattern conversion counts (funnel.funnel_counts): users
+    who did a view, then a click with value > 150 strictly later, then
+    a purchase with value > 250 strictly later."""
+    import pyarrow.compute as pc
+
+    from web_search_engine_ray.pipelines.funnel import funnel_counts
+
+    def gate(batch: pa.Table) -> pa.Table:
+        et, v = batch.column("event_type"), batch.column("value")
+        keep = pc.or_(
+            pc.and_(pc.equal(et, "view"), pc.greater(v, 0.0)),
+            pc.or_(
+                pc.and_(pc.equal(et, "click"), pc.greater(v, 150.0)),
+                pc.and_(pc.equal(et, "purchase"), pc.greater(v, 250.0))))
+        return batch.filter(keep)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"]) \
+        .map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    return funnel_counts(ds, key="user_id", ts_col="ts",
+                         type_col="event_type",
+                         steps=[s for s, _ in FUNNEL_STEPS],
+                         id_col="event_id")
+
+
+def events_users_intersect(sf_dir: str) -> pa.Table:
+    """SQL INTERSECT via relational.dataset_intersect: users with a
+    purchase > 200 who also had an error > 200."""
+    from web_search_engine_ray.pipelines.relational import dataset_intersect
+    path = os.path.join(sf_dir, "events.parquet")
+    left = ray.data.read_parquet(
+        path, columns=["user_id", "event_type", "value"]) \
+        .filter(expr="event_type == 'purchase' and value > 200.0")
+    right = ray.data.read_parquet(
+        path, columns=["user_id", "event_type", "value"]) \
+        .filter(expr="event_type == 'error' and value > 200.0")
+    out = dataset_intersect(left, right, keys=["user_id"])
+    return _collect(out).sort_by([("user_id", "ascending")])
+
+
+def events_users_except(sf_dir: str) -> pa.Table:
+    """SQL EXCEPT via relational.dataset_except: users with a view but
+    no purchase > 300."""
+    from web_search_engine_ray.pipelines.relational import dataset_except
+    path = os.path.join(sf_dir, "events.parquet")
+    left = ray.data.read_parquet(
+        path, columns=["user_id", "event_type"]) \
+        .filter(expr="event_type == 'view'")
+    right = ray.data.read_parquet(
+        path, columns=["user_id", "event_type", "value"]) \
+        .filter(expr="event_type == 'purchase' and value > 300.0")
+    out = dataset_except(left, right, keys=["user_id"])
+    return _collect(out).sort_by([("user_id", "ascending")])
+
+
+def heavy_trigrams(sf_dir: str) -> pa.Table:
+    """Exact top-20 trigrams via Misra-Gries candidates + exact recount
+    (pipelines/heavy.py) — the bounded-state heavy-hitter path for key
+    spaces that grow with the corpus (m=16384 clears the N/(m+1)
+    exactness bound at every sf: the k-th trigram's count/N ratio is
+    scale-invariant in this corpus)."""
+    from web_search_engine_ray.pipelines.heavy import heavy_ngrams
+    return heavy_ngrams(_docs_ds(sf_dir, ["text"]), n=3, k=20, m=16384)
+
+
+def events_histogram(sf_dir: str) -> pa.Table:
+    """Fixed-width (25.0) histogram of event values — exercises
+    quantiles.value_histogram (shuffle-free, bin-bounded driver state)."""
+    from web_search_engine_ray.pipelines.quantiles import value_histogram
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    return value_histogram(ds, col="value", origin=0.0, width=25.0)
+
+
 from web_search_engine_ray.functions.textproc import STOPWORDS  # noqa: E402
 from web_search_engine_ray.pipelines.curation import DECONTAM_K  # noqa: E402
 
@@ -1446,6 +1563,57 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
             f" round(quantile_disc(value, {q}), 6) AS value FROM events"
             for q in [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
         + ") ORDER BY q"),
+    "events_ntile": """
+SELECT event_id, user_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS tile
+FROM events ORDER BY event_id""",
+    "events_lead": """
+SELECT event_id, user_id,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS lead_ts
+FROM events ORDER BY event_id""",
+    # greedy earliest-match funnel == nested MIN(ts) chain (see
+    # pipelines/funnel.py docstring for the equivalence argument)
+    "events_funnel": """
+WITH src AS (SELECT * FROM events
+             WHERE (event_type = 'view' AND value > 0.0)
+                OR (event_type = 'click' AND value > 150.0)
+                OR (event_type = 'purchase' AND value > 250.0)),
+s1 AS (SELECT user_id, min(ts) AS t FROM src
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM src e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM src e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'view',     CAST((SELECT count(*) FROM s1) AS BIGINT)),
+  (CAST(2 AS BIGINT), 'click',    CAST((SELECT count(*) FROM s2) AS BIGINT)),
+  (CAST(3 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)))
+  AS t(step, event_type, n_keys)
+ORDER BY step""",
+    "events_users_intersect": """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200.0
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 200.0
+ORDER BY user_id""",
+    "events_users_except": """
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300.0
+ORDER BY user_id""",
+    "heavy_trigrams": f"""
+WITH toks AS ({_TOKS_POS}),
+g AS (SELECT {_gram_expr(3)} AS gram FROM toks),
+gc AS (SELECT gram, count(*)::BIGINT AS n_occ FROM g
+       WHERE gram IS NOT NULL GROUP BY gram)
+SELECT gram, n_occ FROM gc ORDER BY n_occ DESC, gram LIMIT 20""",
+    "events_histogram": """
+SELECT CAST(floor((value - 0.0) / 25.0) AS BIGINT) AS bin,
+       round(CAST(floor((value - 0.0) / 25.0) AS BIGINT) * 25.0, 6)
+         AS lo_edge,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1 ORDER BY bin""",
 }
 
 # The driver's correctness harness runs the FIRST 50 entries of
@@ -1517,4 +1685,11 @@ QUERIES = {
     "lang_distribution": lang_distribution,
     "winnow_fingerprint": winnow_fingerprint,
     "docs_rank": docs_rank,
+    "events_ntile": events_ntile,
+    "events_lead": events_lead,
+    "events_funnel": events_funnel,
+    "events_users_intersect": events_users_intersect,
+    "events_users_except": events_users_except,
+    "events_histogram": events_histogram,
+    "heavy_trigrams": heavy_trigrams,
 }

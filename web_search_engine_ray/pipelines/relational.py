@@ -443,3 +443,72 @@ def nation_revenue(region: pa.Table, nation: pa.Table,
     return pa.table({"n_name": pa.array([r[1] for r in rows], pa.string()),
                      "revenue": pa.array([r[0] for r in rows],
                                          pa.float64())})
+
+
+def _set_op(left: "ray.data.Dataset", right: "ray.data.Dataset",
+            keys: list[str], keep_both: bool,
+            num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Shared kernel for INTERSECT / EXCEPT (DISTINCT set semantics, as
+    in SQL): tag each side (0 = left, 1 = right), union, ONE hash
+    exchange on the key columns, then a per-partition vectorized pass —
+    lexsort by encoded key codes, run-slice, keep one representative
+    row per key where (keep_both ? both tags present : only tag 0).
+    Output columns are exactly ``keys`` (set semantics drop the rest).
+    No driver state; the exchange moves each row once."""
+    def _tagger(v: int):
+        def _tag(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__tag", pa.array(np.full(b.num_rows, v, np.int8)))
+        return _tag
+
+    lt = left.select_columns(keys).map_batches(
+        _tagger(0), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.select_columns(keys).map_batches(
+        _tagger(1), batch_format="pyarrow", zero_copy_batch=True)
+    sch = left.schema()
+    key_types = {k: sch.types[sch.names.index(k)] for k in keys}
+
+    def _part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({k: pa.array([], key_types[k]) for k in keys})
+        codes = []
+        for k in keys:
+            enc = pc.dictionary_encode(batch.column(k)).combine_chunks()
+            codes.append(np.asarray(enc.indices.to_numpy(
+                zero_copy_only=False), np.int64))
+        tag = np.asarray(batch.column("__tag").to_numpy(
+            zero_copy_only=False), np.int8)
+        order = np.lexsort(tuple(reversed(codes)))
+        sorted_codes = [c[order] for c in codes]
+        from web_search_engine_ray.functions.grouping import group_slices
+        starts, ends = group_slices(sorted_codes)
+        tag_sorted = tag[order]
+        has_l = np.minimum.reduceat(tag_sorted, starts) == 0
+        has_r = np.maximum.reduceat(tag_sorted, starts) == 1
+        keep = (has_l & has_r) if keep_both else (has_l & ~has_r)
+        reps = order[starts[keep]]
+        t = batch.take(pa.array(reps, pa.int64()))
+        return t.select(keys)
+
+    both = lt.union(rt)
+    return hash_partition(both, keys, num_partitions).map_batches(
+        _part, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def dataset_intersect(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                      keys: list[str],
+                      num_partitions: int | None = None) -> "ray.data.Dataset":
+    """SQL ``INTERSECT`` (distinct keys present on BOTH sides) as one
+    hash exchange + run-sliced pass; see _set_op."""
+    return _set_op(left, right, keys, keep_both=True,
+                   num_partitions=num_partitions)
+
+
+def dataset_except(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                   keys: list[str],
+                   num_partitions: int | None = None) -> "ray.data.Dataset":
+    """SQL ``EXCEPT`` (distinct left keys absent from right) as one
+    hash exchange + run-sliced pass; see _set_op."""
+    return _set_op(left, right, keys, keep_both=False,
+                   num_partitions=num_partitions)
