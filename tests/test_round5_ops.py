@@ -240,3 +240,82 @@ def test_heavy_ngrams_guard_fires(ray_session):
                     "text": pa.array(texts, pa.string())})
     with pytest.raises(ValueError, match="guarantee violated"):
         heavy_ngrams(ray.data.from_arrow(tbl), n=3, k=5, m=6)
+
+
+# --- product quantization (pipelines/pq.py) --------------------------------
+
+def _emb_ds(seed=5, n=800, dim=32, n_clusters=12):
+    """Clustered synthetic embeddings (ANN is meaningless on uniform
+    noise): cluster centers + small noise."""
+    g = np.random.default_rng(seed)
+    cents = g.normal(size=(n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    lab = g.integers(0, n_clusters, n)
+    x = cents[lab] + 0.15 * g.normal(size=(n, dim))
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([row.astype(np.float32).tolist()
+                               for row in x],
+                              pa.list_(pa.float32()))}), x
+
+
+def test_pq_recall_and_mse(ray_session):
+    from web_search_engine_ray.pipelines.knn import knn_bruteforce
+    from web_search_engine_ray.pipelines.pq import (knn_pq_adc, pq_encode,
+                                                    pq_reconstruction_mse,
+                                                    train_pq_codebooks)
+    tbl, x = _emb_ds()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    books = train_pq_codebooks(ds, dim=32, n_subspaces=16, n_codes=64)
+    assert books.shape == (16, 64, 2)
+    # normalized vectors have norm^2 == 1; PQ should capture most of it
+    assert pq_reconstruction_mse(ds, books) < 0.1
+    qids = [0, 1, 2]
+    qmat = x[qids]
+    approx = knn_pq_adc(pq_encode(ds, books), books, qids, qmat,
+                        k=10).to_pandas()
+    exact = knn_bruteforce(ds, qids, qmat, k=10).to_pandas()
+    recalls = [len(set(approx[approx.query_id == q].vec_id)
+                   & set(exact[exact.query_id == q].vec_id)) / 10
+               for q in qids]
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_pq_encode_deterministic_and_uint8(ray_session):
+    from web_search_engine_ray.pipelines.pq import (pq_encode,
+                                                    train_pq_codebooks)
+    tbl, _ = _emb_ds(seed=9, n=300)
+    ds = ray.data.from_arrow(tbl)
+    b1 = train_pq_codebooks(ds, dim=32, n_subspaces=4, n_codes=32)
+    b2 = train_pq_codebooks(ds.repartition(5), dim=32, n_subspaces=4,
+                            n_codes=32)
+    # training is layout-invariant: seeded init + exact partial sums
+    assert np.allclose(b1, b2)
+    enc = pa.concat_tables(list(pq_encode(ds, b1).iter_batches(
+        batch_format="pyarrow"))).sort_by("vec_id")
+    assert [enc.schema.field(f"code_{m}").type for m in range(4)] == \
+        [pa.uint8()] * 4
+    enc2 = pa.concat_tables(list(pq_encode(
+        ds.repartition(3), b1).iter_batches(
+            batch_format="pyarrow"))).sort_by("vec_id")
+    assert enc.equals(enc2)
+
+
+def test_knn_pq_recall_testdata(ray_session):
+    """The knn_pq driver query (16x256 PQ, ADC) must reach recall@10
+    >= 0.7 vs brute force on the sf0.01 embeddings (rows-only query —
+    this test is its correctness pin, like knn_ivf's)."""
+    import os
+
+    import pytest
+
+    if not os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
+        pytest.skip("testdata missing")
+    from web_search_engine_ray.pipelines.reference_queries import (
+        knn_cosine, knn_pq)
+    a = knn_pq("/root/testdata/sf0.01").to_pandas()
+    e = knn_cosine("/root/testdata/sf0.01").to_pandas()
+    recalls = [len(set(a[a.query_id == q].vec_id)
+                   & set(e[e.query_id == q].vec_id)) / 10
+               for q in range(5)]
+    assert np.mean(recalls) >= 0.7, recalls

@@ -1230,6 +1230,26 @@ def events_users_except(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("user_id", "ascending")])
 
 
+def knn_pq(sf_dir: str) -> pa.Table:
+    """Approximate cosine top-10 over product-quantized codes
+    (pipelines/pq.py): train 16x256 codebooks, encode to 16 uint8
+    codes/vector (16x compression of 64-dim float32), score via ADC
+    lookup tables.  Rows-only like knn_ivf — approximate by
+    construction; pinned by a recall@10 >= 0.7 pytest against
+    knn_bruteforce (measured 0.80 at sf0.01), not a hash oracle."""
+    from web_search_engine_ray.pipelines.pq import (knn_pq_adc, pq_encode,
+                                                    train_pq_codebooks)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(emb_path, filters=[("vec_id", "in", [0, 1, 2, 3, 4])])
+    order = np.argsort(qtbl.column("vec_id").to_numpy())
+    from web_search_engine_ray.pipelines.knn import _batch_matrix
+    qmat = _batch_matrix(qtbl)[order]
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    books = train_pq_codebooks(ds, dim=64)
+    return knn_pq_adc(pq_encode(ds, books), books, [0, 1, 2, 3, 4], qmat,
+                      k=10)
+
+
 def heavy_trigrams(sf_dir: str) -> pa.Table:
     """Exact top-20 trigrams via Misra-Gries candidates + exact recount
     (pipelines/heavy.py) — the bounded-state heavy-hitter path for key
@@ -1692,4 +1712,5 @@ QUERIES = {
     "events_users_except": events_users_except,
     "events_histogram": events_histogram,
     "heavy_trigrams": heavy_trigrams,
+    "knn_pq": knn_pq,                 # rows-only (approximate; recall pytest)
 }
