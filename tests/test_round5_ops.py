@@ -319,3 +319,47 @@ def test_knn_pq_recall_testdata(ray_session):
                    & set(e[e.query_id == q].vec_id)) / 10
                for q in range(5)]
     assert np.mean(recalls) >= 0.7, recalls
+
+
+# --- cube / mode (relational.cube_counts, window.mode_by_key) --------------
+
+def test_cube_counts_vs_duckdb(ray_session):
+    from web_search_engine_ray.pipelines.relational import cube_counts
+    tbl = _events()
+    con = duckdb.connect()
+    con.register("ev", tbl)
+    want = con.sql("""
+        SELECT event_type, user_id, count(*)::BIGINT AS n_docs
+        FROM ev GROUP BY CUBE(event_type, user_id)
+        ORDER BY event_type, user_id""").df()
+    got = cube_counts(ray.data.from_arrow(tbl),
+                      ["event_type", "user_id"]).to_pandas()
+    assert len(got) == len(want)
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert got["event_type"].fillna("~").tolist() == \
+        want["event_type"].fillna("~").tolist()
+
+
+def test_cube_counts_empty_input(ray_session):
+    from web_search_engine_ray.pipelines.relational import cube_counts
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string())})
+    got = cube_counts(ray.data.from_arrow(empty), ["a", "b"])
+    # SQL CUBE over an empty table yields just the grand-total row n=0
+    assert got.num_rows == 1
+    assert got.column("n_docs").to_pylist() == [0]
+
+
+def test_mode_by_key_ties_lexicographic(ray_session):
+    from web_search_engine_ray.pipelines.window import mode_by_key
+    # user 1: b x2, a x2 -> tie, 'a' wins; user 2: z x3 wins over a x1
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 2], pa.int64()),
+        "event_type": pa.array(["b", "a", "b", "a", "z", "z", "z", "a"],
+                               pa.string())})
+    got = pa.concat_tables(list(mode_by_key(
+        ray.data.from_arrow(tbl), key="user_id",
+        val_col="event_type").iter_batches(
+            batch_format="pyarrow"))).sort_by("user_id")
+    assert got.column("mode_val").to_pylist() == ["a", "z"]
+    assert got.column("n_mode").to_pylist() == [2, 3]

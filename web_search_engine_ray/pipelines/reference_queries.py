@@ -1230,6 +1230,88 @@ def events_users_except(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("user_id", "ascending")])
 
 
+def docs_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(lang, source) — all 4 grouping sets from one
+    streaming finest-level pass (relational.cube_counts)."""
+    from web_search_engine_ray.pipelines.relational import cube_counts
+    return cube_counts(_docs_ds(sf_dir, ["lang", "source"]),
+                       ["lang", "source"])
+
+
+def events_mode(sf_dir: str) -> pa.Table:
+    """Per-user modal event type (ties by type ascending) — exercises
+    window.mode_by_key (combiner partials + one hash exchange)."""
+    from web_search_engine_ray.pipelines.window import mode_by_key
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+    out = mode_by_key(ds, key="user_id", val_col="event_type")
+    return _collect(out).sort_by([("user_id", "ascending")])
+
+
+def docs_regex(sf_dir: str) -> pa.Table:
+    """F1-class regex extraction as pure Arrow kernels (zero Python in
+    the loop): first s-word per doc + count of s-words."""
+    import pyarrow.compute as pc
+
+    def ex(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch.column("text"))
+        st = pc.extract_regex(low, r"(?P<w>\bs[a-z]+)")
+        first = pc.struct_field(st, "w")
+        n = pc.count_substring_regex(low, r"\bs[a-z]+")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "first_s_word": first,
+                         "n_s_words": n.cast(pa.int64())})
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        ex, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(ds).sort_by([("doc_id", "ascending")])
+
+
+def events_corr(sf_dir: str) -> pa.Table:
+    """Per-type Pearson correlation between value and the props-JSON
+    field k — streaming moment partials (n, Σx, Σy, Σxx, Σyy, Σxy per
+    type per batch), combined driver-side (|types| rows)."""
+    import json as _json
+
+    def _mom(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # JSON parse loop is the pinned-semantics exception (events_json
+        # precedent); the moment accumulation below is vectorized
+        ks = np.asarray([float(_json.loads(p)["k"]) for p in
+                         batch.column("props").to_pylist()])
+        v = batch.column("value").to_numpy().astype(np.float64)
+        enc = pc.dictionary_encode(batch.column("event_type")) \
+            .combine_chunks()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        tdict = enc.dictionary.to_pylist()
+        m = np.zeros((len(tdict), 6))
+        np.add.at(m, codes, np.stack(
+            [np.ones_like(v), v, ks, v * v, ks * ks, v * ks], axis=1))
+        return pa.table({
+            "event_type": pa.array(tdict, pa.string()),
+            "mom": pa.array(list(m), pa.list_(pa.float64()))})
+
+    acc: dict[str, np.ndarray] = {}
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value", "props"]).map_batches(
+            _mom, batch_format="pyarrow", zero_copy_batch=True)
+    for t in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        for ty, m in zip(t.column("event_type").to_pylist(),
+                         t.column("mom").to_pylist()):
+            acc[ty] = acc.get(ty, np.zeros(6)) + np.asarray(m)
+    types = sorted(acc)
+    out = []
+    for ty in types:
+        n, sx, sy, sxx, syy, sxy = acc[ty]
+        cov = sxy - sx * sy / n
+        vx, vy = sxx - sx * sx / n, syy - sy * sy / n
+        out.append(round(cov / np.sqrt(vx * vy), 6))
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "corr_vk": pa.array(out, pa.float64())})
+
+
 def knn_pq(sf_dir: str) -> pa.Table:
     """Approximate cosine top-10 over product-quantized codes
     (pipelines/pq.py): train 16x256 codebooks, encode to 16 uint8
@@ -1622,6 +1704,30 @@ SELECT user_id FROM events WHERE event_type = 'view'
 EXCEPT
 SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300.0
 ORDER BY user_id""",
+    "docs_cube": """
+SELECT lang, source, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY CUBE(lang, source)
+ORDER BY lang, source""",
+    "events_mode": """
+SELECT user_id, event_type AS mode_val, n AS n_mode FROM (
+  SELECT user_id, event_type, count(*)::BIGINT AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1 ORDER BY user_id""",
+    "docs_regex": """
+SELECT doc_id,
+       NULLIF(regexp_extract(lower(text), '\\bs[a-z]+'), '')
+         AS first_s_word,
+       len(regexp_extract_all(lower(text), '\\bs[a-z]+'))::BIGINT
+         AS n_s_words
+FROM documents ORDER BY doc_id""",
+    "events_corr": """
+SELECT event_type,
+       round(corr(value,
+                  CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+         AS corr_vk
+FROM events GROUP BY event_type ORDER BY event_type""",
     "heavy_trigrams": f"""
 WITH toks AS ({_TOKS_POS}),
 g AS (SELECT {_gram_expr(3)} AS gram FROM toks),
@@ -1712,5 +1818,9 @@ QUERIES = {
     "events_users_except": events_users_except,
     "events_histogram": events_histogram,
     "heavy_trigrams": heavy_trigrams,
+    "docs_cube": docs_cube,
+    "events_mode": events_mode,
+    "docs_regex": docs_regex,
+    "events_corr": events_corr,
     "knn_pq": knn_pq,                 # rows-only (approximate; recall pytest)
 }

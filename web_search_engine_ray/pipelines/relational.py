@@ -317,16 +317,10 @@ def pivot_counts(ds: "ray.data.Dataset", row_key: str, col_key: str,
     return pa.table(out)
 
 
-def rollup_counts(ds: "ray.data.Dataset", keys: list[str]) -> pa.Table:
-    """GROUP BY ROLLUP(keys): counts at every prefix level of the key
-    hierarchy — (k1..kn), (k1..kn-1, NULL), ..., (all NULL) — exactly
-    DuckDB's ROLLUP null-filling.
-
-    Shape: ONE streaming pass computes per-batch combiner counts at the
-    FINEST level only; the super-aggregate levels are derived from that
-    bounded table (|distinct key tuples| rows — the same driver-state
-    contract as pivot_counts: a rollup over unbounded-cardinality keys
-    is just a groupby and should stay long-form)."""
+def _finest_counts(ds: "ray.data.Dataset", keys: list[str]) -> pa.Table:
+    """ONE streaming pass of per-batch combiner counts at the finest
+    (all-keys) level, summed driver-side — |distinct key tuples| rows
+    (the shared input of rollup_counts and cube_counts)."""
     def _cells(batch: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(batch.select(keys), keys) \
             .aggregate([([], "count_all")])
@@ -336,7 +330,8 @@ def rollup_counts(ds: "ray.data.Dataset", keys: list[str]) -> pa.Table:
     seed = pa.table({**{k: pa.array([], types[k]) for k in keys},
                      "n": pa.array([], pa.int64())})
     # seeded so an EMPTY corpus yields zero finest cells (not an
-    # ArrowInvalid) and the rollup still emits the SQL grand-total row
+    # ArrowInvalid) and the super-aggregate still emits the SQL
+    # grand-total row
     finest = pa.concat_tables([seed] + list(
         ds.select_columns(keys).map_batches(
             _cells, batch_format="pyarrow", zero_copy_batch=True)
@@ -344,6 +339,20 @@ def rollup_counts(ds: "ray.data.Dataset", keys: list[str]) -> pa.Table:
     if finest.num_rows:
         finest = pa.TableGroupBy(finest, keys).aggregate([("n", "sum")]) \
             .rename_columns(keys + ["n"])
+    return finest
+
+
+def rollup_counts(ds: "ray.data.Dataset", keys: list[str]) -> pa.Table:
+    """GROUP BY ROLLUP(keys): counts at every prefix level of the key
+    hierarchy — (k1..kn), (k1..kn-1, NULL), ..., (all NULL) — exactly
+    DuckDB's ROLLUP null-filling.
+
+    Shape: see _finest_counts; the super-aggregate levels are derived
+    from that bounded table (|distinct key tuples| rows — the same
+    driver-state contract as pivot_counts: a rollup over
+    unbounded-cardinality keys is just a groupby and should stay
+    long-form)."""
+    finest = _finest_counts(ds, keys)
     levels = [finest]
     cur = finest
     for depth in range(len(keys) - 1, -1, -1):
@@ -362,6 +371,38 @@ def rollup_counts(ds: "ray.data.Dataset", keys: list[str]) -> pa.Table:
         cols["n"] = g.column("n")
         levels.append(pa.table(cols))
         cur = levels[-1]
+    out = pa.concat_tables(levels)
+    out = pa.table({**{k: out.column(k) for k in keys},
+                    "n_docs": out.column("n").cast(pa.int64())})
+    return out.sort_by([(k, "ascending") for k in keys])
+
+
+def cube_counts(ds: "ray.data.Dataset", keys: list[str]) -> pa.Table:
+    """GROUP BY CUBE(keys): counts at every SUBSET of the key set (2^n
+    levels), with DuckDB's null-filling for the dropped keys.  Same
+    shape as rollup_counts — one streaming finest-level pass, all
+    2^n super-aggregates derived from the bounded finest table."""
+    from itertools import combinations
+
+    finest = _finest_counts(ds, keys)
+    levels = []
+    for r in range(len(keys), -1, -1):
+        for kept in combinations(keys, r):
+            kept = list(kept)
+            if len(kept) == len(keys):
+                g = finest
+            elif kept:
+                g = pa.TableGroupBy(finest.select(kept + ["n"]), kept) \
+                    .aggregate([("n", "sum")]).rename_columns(kept + ["n"])
+            else:
+                total = pc.sum(finest.column("n")).as_py() or 0
+                g = pa.table({"n": pa.array([total], pa.int64())})
+            cols = {}
+            for k in keys:
+                cols[k] = g.column(k) if k in kept \
+                    else pa.nulls(g.num_rows, finest.schema.field(k).type)
+            cols["n"] = g.column("n")
+            levels.append(pa.table(cols))
     out = pa.concat_tables(levels)
     out = pa.table({**{k: out.column(k) for k in keys},
                     "n_docs": out.column("n").cast(pa.int64())})

@@ -127,3 +127,67 @@ def tumbling_window_agg(events: "ray.data.Dataset", key: str,
             np.round(t.column("sum(total)").to_numpy(zero_copy_only=False)
                      .astype(np.float64), 6)),
     }).sort_by([(key, "ascending"), ("window_start", "ascending")])
+
+
+def mode_by_key(ds: "ray.data.Dataset", key: str, val_col: str,
+                num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Per-key MODE of a categorical column: the most frequent value,
+    ties broken by value ascending — exactly the SQL::
+
+        SELECT key, val AS mode_val, count(*) AS n_mode ... QUALIFY
+        row_number() OVER (PARTITION BY key
+                           ORDER BY count(*) DESC, val) = 1
+
+    Shape: per-batch (key, val) combiner counts (each batch collapses
+    to its distinct pair count), ONE hash exchange of those partials on
+    ``key``, then a per-partition vectorized pass — lexsort by (key,
+    val), reduceat-sum the partials per pair, then a second lexsort by
+    (key, -n, val) taking each key run's first row.  No driver state;
+    emits (key, mode_val, n_mode)."""
+    sch = ds.schema()
+    key_t = sch.types[sch.names.index(key)]
+    val_t = sch.types[sch.names.index(val_col)]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select([key, val_col]),
+                            [key, val_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key, val_col, "n"])
+
+    def _mode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key: pa.array([], key_t),
+                             "mode_val": pa.array([], val_t),
+                             "n_mode": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+        kenc = pc.dictionary_encode(batch.column(key)).combine_chunks()
+        kcode = np.asarray(kenc.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        venc = pc.dictionary_encode(batch.column(val_col)).combine_chunks()
+        # dictionary order is first-appearance, NOT sorted: rank the
+        # dictionary so vrank compares like the value itself
+        vdict = np.asarray(venc.dictionary.to_pylist(), object)
+        rank_of = np.empty(len(vdict), np.int64)
+        rank_of[np.argsort(vdict)] = np.arange(len(vdict))
+        vrank = rank_of[np.asarray(venc.indices.to_numpy(
+            zero_copy_only=False), np.int64)]
+        n = np.asarray(batch.column("n").to_numpy(), np.int64)
+        # 1) sum partials per (key, val)
+        o1 = np.lexsort((vrank, kcode))
+        starts, ends = group_slices([kcode[o1], vrank[o1]])
+        pair_n = np.add.reduceat(n[o1], starts)
+        pk, pv = kcode[o1][starts], vrank[o1][starts]
+        # 2) first row per key ordered by (n desc, val asc)
+        o2 = np.lexsort((pv, -pair_n, pk))
+        ks, _ke = group_slices([pk[o2]])
+        top = o2[ks]
+        rows = o1[starts[top]]
+        t = batch.take(pa.array(rows, pa.int64()))
+        return pa.table({key: t.column(key),
+                         "mode_val": t.column(val_col),
+                         "n_mode": pa.array(pair_n[top], pa.int64())})
+
+    partials = ds.select_columns([key, val_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_partition(partials, [key], num_partitions).map_batches(
+        _mode, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
