@@ -363,3 +363,89 @@ def test_mode_by_key_ties_lexicographic(ray_session):
             batch_format="pyarrow"))).sort_by("user_id")
     assert got.column("mode_val").to_pylist() == ["a", "z"]
     assert got.column("n_mode").to_pylist() == [2, 3]
+
+
+# --- IVFADC (pq.build_ivfpq_index / knn_ivfpq_indexed) ---------------------
+
+def test_ivfpq_recall_and_pruning(ray_session, tmp_path, monkeypatch):
+    """IVFADC must (a) reach recall@10 >= 0.6 on clustered synthetic
+    data probing half the buckets, and (b) read ONLY the probed bucket
+    dirs — and only code columns, never the float corpus."""
+    import os
+
+    import ray.data
+
+    from web_search_engine_ray.pipelines import pq as pqmod
+    from web_search_engine_ray.pipelines.knn import knn_bruteforce
+
+    tbl, x = _emb_ds(seed=21, n=900, dim=32, n_clusters=8)
+    idx = str(tmp_path / "ivfpq")
+    ds = ray.data.from_arrow(tbl)
+    pqmod.build_ivfpq_index(ds, idx, n_centroids=8, n_subspaces=16,
+                            n_codes=64)
+    all_dirs = sorted(os.listdir(os.path.join(idx, "buckets")))
+    assert all(p.startswith("centroid_id=") for p in all_dirs)
+
+    captured = {}
+    real = ray.data.read_parquet
+
+    def spy(paths, **kw):
+        captured["paths"] = paths
+        captured["columns"] = kw.get("columns")
+        return real(paths, **kw)
+
+    monkeypatch.setattr(pqmod.ray.data, "read_parquet", spy)
+    qids = [0, 1, 2]
+    qmat = x[qids]
+    approx = pqmod.knn_ivfpq_indexed(idx, qids, qmat, k=10,
+                                     nprobe=4).to_pandas()
+    probed_dirs = {os.path.dirname(p) for p in captured["paths"]}
+    assert 1 <= len(probed_dirs) <= len(all_dirs)
+    # only uint8 code columns + ids are read — never "embedding"
+    assert "embedding" not in (captured["columns"] or [])
+    monkeypatch.undo()
+    exact = knn_bruteforce(ds, qids, qmat, k=10).to_pandas()
+    recalls = [len(set(approx[approx.query_id == q].vec_id)
+                   & set(exact[exact.query_id == q].vec_id)) / 10
+               for q in qids]
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_ivfpq_idempotent_rebuild(ray_session, tmp_path):
+    import ray.data
+
+    from web_search_engine_ray.pipelines import pq as pqmod
+    tbl, x = _emb_ds(seed=4, n=300, dim=32, n_clusters=4)
+    idx = str(tmp_path / "ivfpq2")
+    ds = ray.data.from_arrow(tbl)
+    pqmod.build_ivfpq_index(ds, idx, n_centroids=4, n_subspaces=8,
+                            n_codes=32)
+    a = pqmod.knn_ivfpq_indexed(idx, [0], x[:1], k=5, nprobe=2)
+    pqmod.build_ivfpq_index(ds, idx, n_centroids=4, n_subspaces=8,
+                            n_codes=32)     # manifest hit: no rebuild
+    b = pqmod.knn_ivfpq_indexed(idx, [0], x[:1], k=5, nprobe=2)
+    assert a.equals(b)
+    # changed config -> clean rebuild, still works
+    pqmod.build_ivfpq_index(ds, idx, n_centroids=4, n_subspaces=16,
+                            n_codes=32)
+    c = pqmod.knn_ivfpq_indexed(idx, [0], x[:1], k=5, nprobe=2)
+    assert c.num_rows == 5
+
+
+def test_knn_ivfpq_recall_testdata(ray_session):
+    """The knn_ivfpq driver query must reach recall@10 >= 0.7 vs brute
+    force on the sf0.01 embeddings (rows-only query pin)."""
+    import os
+
+    import pytest
+
+    if not os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
+        pytest.skip("testdata missing")
+    from web_search_engine_ray.pipelines.reference_queries import (
+        knn_cosine, knn_ivfpq)
+    a = knn_ivfpq("/root/testdata/sf0.01").to_pandas()
+    e = knn_cosine("/root/testdata/sf0.01").to_pandas()
+    recalls = [len(set(a[a.query_id == q].vec_id)
+                   & set(e[e.query_id == q].vec_id)) / 10
+               for q in range(5)]
+    assert np.mean(recalls) >= 0.7, recalls

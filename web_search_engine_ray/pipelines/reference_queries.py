@@ -1230,6 +1230,27 @@ def events_users_except(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("user_id", "ascending")])
 
 
+def knn_ivfpq(sf_dir: str) -> pa.Table:
+    """Full IVFADC (pipelines/pq.py:build_ivfpq_index): coarse
+    centroids partition storage into bucket dirs, residual PQ codes
+    compress each vector 16x; the probe reads ONLY the probed buckets'
+    uint8 code columns (~nprobe/n_centroids of 1/16th the bytes).
+    Rows-only; pinned by a recall@10 >= 0.7 pytest (0.82 measured at
+    sf0.01 with nprobe=4/16)."""
+    from web_search_engine_ray.pipelines.knn import _batch_matrix
+    from web_search_engine_ray.pipelines.pq import (build_ivfpq_index,
+                                                    knn_ivfpq_indexed)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(emb_path, filters=[("vec_id", "in", [0, 1, 2, 3, 4])])
+    order = np.argsort(qtbl.column("vec_id").to_numpy())
+    qmat = _batch_matrix(qtbl)[order]
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = f"/tmp/wse_ivfpq_{key}"
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    build_ivfpq_index(ds, idx, n_centroids=16)
+    return knn_ivfpq_indexed(idx, [0, 1, 2, 3, 4], qmat, k=10, nprobe=4)
+
+
 def docs_cube(sf_dir: str) -> pa.Table:
     """GROUP BY CUBE(lang, source) — all 4 grouping sets from one
     streaming finest-level pass (relational.cube_counts)."""
@@ -1823,4 +1844,5 @@ QUERIES = {
     "docs_regex": docs_regex,
     "events_corr": events_corr,
     "knn_pq": knn_pq,                 # rows-only (approximate; recall pytest)
+    "knn_ivfpq": knn_ivfpq,           # rows-only (approximate; recall pytest)
 }
