@@ -449,3 +449,29 @@ def test_knn_ivfpq_recall_testdata(ray_session):
                    & set(e[e.query_id == q].vec_id)) / 10
                for q in range(5)]
     assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_weighted_sample_partition_invariant_and_biased(ray_session):
+    """weighted_sample must (a) be invariant to block layout and (b)
+    actually bias toward heavy rows (mean sampled weight > corpus
+    mean)."""
+    from web_search_engine_ray.pipelines.sampling import weighted_sample
+    g = np.random.default_rng(2)
+    w = g.integers(1, 1000, 2000).astype(np.float64)
+    tbl = pa.table({"doc_id": pa.array(np.arange(2000, dtype=np.int64)),
+                    "n_chars": pa.array(w)})
+    a = weighted_sample(ray.data.from_arrow(tbl), "doc_id", "n_chars", 50)
+    b = weighted_sample(ray.data.from_arrow(tbl).repartition(7),
+                        "doc_id", "n_chars", 50)
+    assert a.equals(b)
+    assert a.num_rows == 50
+    assert np.mean(a.column("n_chars").to_numpy()) > w.mean()
+
+
+def test_weighted_sample_small_corpus(ray_session):
+    from web_search_engine_ray.pipelines.sampling import weighted_sample
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "n_chars": pa.array([5.0, 1.0, 2.0])})
+    out = weighted_sample(ray.data.from_arrow(tbl), "doc_id", "n_chars",
+                          10)
+    assert out.num_rows == 3        # k > n returns everything

@@ -1230,6 +1230,14 @@ def events_users_except(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("user_id", "ascending")])
 
 
+def docs_weighted_sample(sf_dir: str) -> pa.Table:
+    """Deterministic weighted sample (A-Res, weight = n_chars) —
+    exercises sampling.weighted_sample's blockwise-candidate top-k."""
+    from web_search_engine_ray.pipelines.sampling import weighted_sample
+    return weighted_sample(_docs_ds(sf_dir, ["doc_id", "n_chars"]),
+                           id_col="doc_id", weight_col="n_chars", k=30)
+
+
 def knn_ivfpq(sf_dir: str) -> pa.Table:
     """Full IVFADC (pipelines/pq.py:build_ivfpq_index): coarse
     centroids partition storage into bucket dirs, residual PQ codes
@@ -1749,6 +1757,17 @@ SELECT event_type,
                   CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
          AS corr_vk
 FROM events GROUP BY event_type ORDER BY event_type""",
+    # A-Res weighted sampling: identical u derivation on both sides
+    # (first 8 md5 hex chars + 1 over 2^32 + 1)
+    "docs_weighted_sample": """
+WITH s AS (SELECT doc_id, n_chars,
+  ln((CAST(concat('0x',
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1)
+     / 4294967297.0) / n_chars AS akey
+  FROM documents),
+t AS (SELECT * FROM s ORDER BY akey DESC, doc_id LIMIT 30)
+SELECT doc_id, n_chars, round(akey, 6) AS akey FROM t
+ORDER BY akey DESC, doc_id""",
     "heavy_trigrams": f"""
 WITH toks AS ({_TOKS_POS}),
 g AS (SELECT {_gram_expr(3)} AS gram FROM toks),
@@ -1843,6 +1862,7 @@ QUERIES = {
     "events_mode": events_mode,
     "docs_regex": docs_regex,
     "events_corr": events_corr,
+    "docs_weighted_sample": docs_weighted_sample,
     "knn_pq": knn_pq,                 # rows-only (approximate; recall pytest)
     "knn_ivfpq": knn_ivfpq,           # rows-only (approximate; recall pytest)
 }
