@@ -475,3 +475,24 @@ def test_weighted_sample_small_corpus(ray_session):
     out = weighted_sample(ray.data.from_arrow(tbl), "doc_id", "n_chars",
                           10)
     assert out.num_rows == 3        # k > n returns everything
+
+
+def test_resample_ffill_planted_gaps(ray_session):
+    from web_search_engine_ray.pipelines.window import resample_ffill
+    h = 3_600_000_000
+    # user 1: events at hours 0, 0, 3 (gap at 1, 2); user 2: hour 5 only
+    ts = np.array([0, h // 2, 3 * h, 5 * h], "datetime64[us]")
+    tbl = pa.table({"user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "value": pa.array([2.0, 3.0, 7.0, 9.0])})
+    got = pa.concat_tables(list(resample_ffill(
+        ray.data.from_arrow(tbl), key="user_id", ts_col="ts",
+        value_col="value", width_us=h).iter_batches(
+            batch_format="pyarrow"))).sort_by(
+        [("user_id", "ascending"), ("bucket_ts", "ascending")])
+    assert got.column("n_events").to_pylist() == [2, 0, 0, 1, 1]
+    # hour 0 sums to 5.0, gaps inherit it, hour 3 is 7.0; user 2 is 9.0
+    assert got.column("v_ffill").to_pylist() == [5.0, 5.0, 5.0, 7.0, 9.0]
+    # user 2's single bucket did NOT inherit user 1's fill (run reset)
+    b = got.column("bucket_ts").to_numpy().astype("datetime64[us]")
+    assert b[-1] == np.datetime64(5 * h, "us")

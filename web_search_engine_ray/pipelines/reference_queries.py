@@ -1230,6 +1230,18 @@ def events_users_except(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("user_id", "ascending")])
 
 
+def events_resample(sf_dir: str) -> pa.Table:
+    """Hourly resample per user with gap filling (window.resample_ffill):
+    dense bucket grid per user, count 0 in gaps, value forward-filled."""
+    from web_search_engine_ray.pipelines.window import resample_ffill
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+    out = resample_ffill(ds, key="user_id", ts_col="ts",
+                         value_col="value", width_us=3_600_000_000)
+    return _collect(out).sort_by([("user_id", "ascending"),
+                                  ("bucket_ts", "ascending")])
+
+
 def docs_weighted_sample(sf_dir: str) -> pa.Table:
     """Deterministic weighted sample (A-Res, weight = n_chars) —
     exercises sampling.weighted_sample's blockwise-candidate top-k."""
@@ -1757,6 +1769,22 @@ SELECT event_type,
                   CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
          AS corr_vk
 FROM events GROUP BY event_type ORDER BY event_type""",
+    "events_resample": """
+WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+                  count(*)::BIGINT AS n, round(sum(value), 6) AS s
+           FROM events GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+           FROM b GROUP BY 1),
+grid AS (SELECT user_id,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                  AS bucket_ts
+         FROM bounds),
+j AS (SELECT g.user_id, g.bucket_ts, coalesce(b.n, 0) AS n_events, b.s
+      FROM grid g LEFT JOIN b USING (user_id, bucket_ts))
+SELECT user_id, bucket_ts, n_events,
+       last_value(s IGNORE NULLS) OVER (PARTITION BY user_id
+                                        ORDER BY bucket_ts) AS v_ffill
+FROM j ORDER BY user_id, bucket_ts""",
     # A-Res weighted sampling: identical u derivation on both sides
     # (first 8 md5 hex chars + 1 over 2^32 + 1)
     "docs_weighted_sample": """
@@ -1862,6 +1890,7 @@ QUERIES = {
     "events_mode": events_mode,
     "docs_regex": docs_regex,
     "events_corr": events_corr,
+    "events_resample": events_resample,
     "docs_weighted_sample": docs_weighted_sample,
     "knn_pq": knn_pq,                 # rows-only (approximate; recall pytest)
     "knn_ivfpq": knn_ivfpq,           # rows-only (approximate; recall pytest)

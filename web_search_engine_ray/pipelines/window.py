@@ -191,3 +191,100 @@ def mode_by_key(ds: "ray.data.Dataset", key: str, val_col: str,
     return hash_partition(partials, [key], num_partitions).map_batches(
         _mode, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def resample_ffill(events: "ray.data.Dataset", key: str, ts_col: str,
+                   value_col: str, width_us: int,
+                   num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Time-series resample with gap filling: per key, a DENSE bucket
+    grid from its first to its last observed bucket; each bucket
+    carries its event count (0 for gaps) and the forward-filled bucket
+    value sum (rounded to 6; gaps inherit the last observed bucket —
+    the ``last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY
+    bucket)`` SQL).  The first bucket per key is observed by
+    construction, so the fill column is never null.
+
+    Shape: per-batch combiner partials (key, bucket, n, sum) — shuffle
+    volume is keys x buckets per block, not event count — then ONE hash
+    exchange on the key and a per-partition vectorized pass (reduceat
+    pair sums, arange grid, scatter + maximum.accumulate fill).
+
+    Partitioning assumption: a key's GRID (time-span / width) must fit
+    one partition — the per-key analog of the module's complete-groups
+    contract; widen ``width_us`` or shard the time range upstream for
+    multi-year spans at second resolution."""
+    sch = events.schema()
+    key_t = sch.types[sch.names.index(key)]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        ts = batch.column(ts_col).to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        win = (ts // width_us) * width_us
+        df = pd.DataFrame({
+            "k": batch.column(key).to_pandas(),
+            "bucket_us": win,
+            "v": batch.column(value_col).to_numpy()})
+        g = df.groupby(["k", "bucket_us"], sort=False).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        return pa.table({
+            key: pa.array(g["k"]),
+            "bucket_us": pa.array(g["bucket_us"].to_numpy(), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            "s": pa.array(g["s"].to_numpy(), pa.float64())})
+
+    def _grid(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key: pa.array([], key_t),
+                             "bucket_ts": pa.array([], pa.timestamp("us")),
+                             "n_events": pa.array([], pa.int64()),
+                             "v_ffill": pa.array([], pa.float64())})
+        import pyarrow.compute as pc
+        enc = pc.dictionary_encode(batch.column(key)).combine_chunks()
+        kcode = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        bucket = batch.column("bucket_us").to_numpy()
+        n = batch.column("n").to_numpy()
+        s = batch.column("s").to_numpy()
+        o = np.lexsort((bucket, kcode))
+        kc, bk = kcode[o], bucket[o]
+        pst, pen = group_slices([kc, bk])
+        pair_k, pair_b = kc[pst], bk[pst]
+        pair_n = np.add.reduceat(n[o], pst)
+        pair_s = np.add.reduceat(s[o], pst)
+        kst, ken = group_slices([pair_k])
+        lo, hi = pair_b[kst], pair_b[ken - 1]
+        glen = (hi - lo) // width_us + 1
+        total = int(glen.sum())
+        run_off = np.r_[0, np.cumsum(glen)[:-1]]
+        # dense grid: per key run, buckets lo, lo+w, ..., hi
+        idx = np.arange(total, dtype=np.int64)
+        rep_off = np.repeat(run_off, glen)
+        rep_lo = np.repeat(lo, glen)
+        out_bucket = rep_lo + (idx - rep_off) * width_us
+        out_key_code = np.repeat(pair_k[kst], glen)
+        out_n = np.zeros(total, np.int64)
+        out_s = np.full(total, np.nan)
+        # scatter observed pairs into their grid slots
+        slot = run_off[np.searchsorted(pair_k[kst], pair_k)] \
+            + (pair_b - np.repeat(lo, ken - kst)) // width_us
+        out_n[slot] = pair_n
+        out_s[slot] = np.round(pair_s, 6)
+        # forward fill: each run's first slot is observed, so a global
+        # maximum.accumulate of fill positions never crosses runs
+        fill_idx = np.where(out_n > 0, idx, -1)
+        fill_idx = np.maximum.accumulate(fill_idx)
+        v_ffill = out_s[fill_idx]
+        kdict = enc.dictionary
+        return pa.table({
+            key: kdict.take(pa.array(out_key_code, pa.int64())),
+            "bucket_ts": pa.array(out_bucket, pa.int64())
+                .cast(pa.timestamp("us")),
+            "n_events": pa.array(out_n, pa.int64()),
+            "v_ffill": pa.array(v_ffill, pa.float64())})
+
+    partials = events.select_columns([key, ts_col, value_col]) \
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_partition(partials, [key], num_partitions).map_batches(
+        _grid, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
