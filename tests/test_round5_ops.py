@@ -496,3 +496,53 @@ def test_resample_ffill_planted_gaps(ray_session):
     # user 2's single bucket did NOT inherit user 1's fill (run reset)
     b = got.column("bucket_ts").to_numpy().astype("datetime64[us]")
     assert b[-1] == np.datetime64(5 * h, "us")
+
+
+def test_connected_components_chain_and_star(ray_session):
+    from web_search_engine_ray.pipelines.analysis import \
+        connected_components
+    # chain 5-3-9 + star 1-{2,7} + pair order/duplicates thrown in
+    pairs = pa.table({
+        "doc_id_a": pa.array([3, 9, 1, 7, 3], pa.int64()),
+        "doc_id_b": pa.array([5, 3, 2, 1, 5], pa.int64())})
+    got = connected_components(pairs)
+    lab = dict(zip(got.column("doc_id").to_pylist(),
+                   got.column("canonical_id").to_pylist()))
+    assert lab == {3: 3, 5: 3, 9: 3, 1: 1, 2: 1, 7: 1}
+
+
+def test_dist_rank_vs_duckdb(ray_session):
+    from web_search_engine_ray.pipelines.analytic import dist_rank_in_key
+    tbl = _events()
+    # quantize value so pct_rank/cume_dist see genuine ties
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("value"), "value",
+        pa.array(np.floor(tbl.column("value").to_numpy() / 10.0)))
+    con = duckdb.connect()
+    con.register("ev", tbl)
+    want = con.sql("""
+        SELECT event_id,
+               round(percent_rank() OVER (PARTITION BY user_id
+                     ORDER BY value DESC), 6) AS pct_rank,
+               round(cume_dist() OVER (PARTITION BY user_id
+                     ORDER BY value DESC), 6) AS cume_dist
+        FROM ev ORDER BY event_id""").arrow()
+    got = _collect(dist_rank_in_key(
+        ray.data.from_arrow(tbl), key="user_id", order_col="value",
+        id_col="event_id", descending=True)).sort_by("event_id")
+    assert got.column("pct_rank").to_pylist() == \
+        want.column("pct_rank").to_pylist()
+    assert got.column("cume_dist").to_pylist() == \
+        want.column("cume_dist").to_pylist()
+
+
+def test_dist_rank_single_row_key(ray_session):
+    from web_search_engine_ray.pipelines.analytic import dist_rank_in_key
+    tbl = pa.table({"event_id": pa.array([0], pa.int64()),
+                    "user_id": pa.array([1], pa.int64()),
+                    "value": pa.array([5.0])})
+    got = _collect(dist_rank_in_key(
+        ray.data.from_arrow(tbl), key="user_id", order_col="value",
+        id_col="event_id"))
+    assert got.column("pct_rank").to_pylist() == [0.0]
+    assert got.column("cume_dist").to_pylist() == [1.0]

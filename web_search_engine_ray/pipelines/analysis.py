@@ -981,3 +981,44 @@ def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> pa.Table:
                      "doc_id_b": pa.array(arr[:, 1], pa.int64()),
                      "hamming": pa.array(arr[:, 2].astype(np.int32),
                                          pa.int32())})
+
+
+def connected_components(pairs: pa.Table, a_col: str = "doc_id_a",
+                         b_col: str = "doc_id_b") -> pa.Table:
+    """(id, canonical_id) for every id in a near-dup pair, canonical =
+    the component's smallest id — the cluster form of dedup output
+    (keep canonical, drop the rest).
+
+    Runs union-find on the DRIVER over the pair table: pairs are
+    output-sized by construction (every producer here — minhash /
+    simhash / jaccard — already collects them), so the driver state is
+    output-bounded, not corpus-bounded.  At a scale where the dup
+    GRAPH itself outgrows one machine, swap in iterative min-label
+    propagation as repeated hash joins (log-diameter rounds of the
+    repo's hash_join); this direct form is exact and single-pass for
+    every workload whose pair list fits the collector that produced
+    it."""
+    a = pairs.column(a_col).to_pylist()
+    b = pairs.column(b_col).to_pylist()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:        # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(a, b):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by smaller root id: canonical stays the min
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    ids = sorted({*a, *b})
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "canonical_id": pa.array([find(i) for i in ids], pa.int64())})

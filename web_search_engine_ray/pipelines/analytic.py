@@ -295,3 +295,74 @@ def shift_by_key(ds: "ray.data.Dataset", key: str, ts_col: str,
                           num_partitions).map_batches(
         _part, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def dist_rank_in_key(ds: "ray.data.Dataset", key: str, order_col: str,
+                     id_col: str, descending: bool = True,
+                     num_partitions: int | None = None
+                     ) -> "ray.data.Dataset":
+    """PERCENT_RANK and CUME_DIST within each key over
+    (order_col [DESC|ASC]) — exactly::
+
+        percent_rank() OVER (PARTITION BY key ORDER BY order_col DESC)
+        cume_dist()    OVER (PARTITION BY key ORDER BY order_col DESC)
+
+    percent_rank = (rank - 1) / (L - 1) (0 for single-row keys);
+    cume_dist = rows-with-order-value-not-after-current / L.  Same
+    distributed shape as rank_in_key (ONE hash exchange + run-sliced
+    pass); both outputs rounded to 6 (they are exact ratios of small
+    ints — rounding only normalizes float formatting against the
+    oracle).  Emits (id, key, order_col, pct_rank, cume_dist)."""
+    cols = list(dict.fromkeys([id_col, key, order_col]))
+    sch = ds.schema()
+    key_t = sch.types[sch.names.index(key)]
+    id_t = sch.types[sch.names.index(id_col)]
+    val_t = sch.types[sch.names.index(order_col)]
+
+    def _part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], id_t),
+                key: pa.array([], key_t),
+                order_col: pa.array([], val_t),
+                "pct_rank": pa.array([], pa.float64()),
+                "cume_dist": pa.array([], pa.float64())})
+        enc = pc.dictionary_encode(batch.column(key))
+        kcode = np.asarray(enc.combine_chunks().indices.to_numpy(
+            zero_copy_only=False), np.int64)
+        vals = batch.column(order_col).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sort_val = -vals if descending else vals
+        order = np.lexsort((ids, sort_val, kcode))
+        kc, vv = kcode[order], vals[order]
+        starts, ends = group_slices([kc])
+        n = len(order)
+        idx = np.arange(n, dtype=np.int64)
+        lens = ends - starts
+        run_start = np.repeat(starts, lens)
+        run_len = np.repeat(lens, lens)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (kc[1:] != kc[:-1]) | (vv[1:] != vv[:-1])
+        vstart = np.maximum.accumulate(np.where(change, idx, 0))
+        # value-run END: the next change position (or n) — nested in
+        # key runs because a key change always starts a new value run
+        vr_starts = np.flatnonzero(change)
+        vr_ends_per_run = np.r_[vr_starts[1:], n]
+        vend = vr_ends_per_run[np.cumsum(change) - 1]
+        rnk = vstart - run_start + 1
+        pct = np.where(run_len > 1,
+                       (rnk - 1) / np.maximum(run_len - 1, 1), 0.0)
+        cume = (vend - run_start) / run_len
+        t = batch.take(pa.array(order, pa.int64()))
+        return pa.table({
+            id_col: t.column(id_col),
+            key: t.column(key),
+            order_col: t.column(order_col),
+            "pct_rank": pa.array(np.round(pct, 6), pa.float64()),
+            "cume_dist": pa.array(np.round(cume, 6), pa.float64())})
+
+    return hash_partition(ds.select_columns(cols), [key],
+                          num_partitions).map_batches(
+        _part, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)

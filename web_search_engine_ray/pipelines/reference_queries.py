@@ -1230,6 +1230,37 @@ def events_users_except(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("user_id", "ascending")])
 
 
+def docs_dist_rank(sf_dir: str) -> pa.Table:
+    """PERCENT_RANK / CUME_DIST of docs per language by token count
+    (DESC) — exercises analytic.dist_rank_in_key; the tie-heavy integer
+    n_tokens column makes cume_dist genuinely step-shaped."""
+    from web_search_engine_ray.pipelines.analysis import doc_tokens_batch
+    from web_search_engine_ray.pipelines.analytic import dist_rank_in_key
+
+    def with_lang(batch: pa.Table) -> pa.Table:
+        toks = doc_tokens_batch(batch)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "n_tokens": toks.column("n_tokens")})
+
+    ds = _docs_ds(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        with_lang, batch_format="pyarrow", zero_copy_batch=True)
+    out = dist_rank_in_key(ds, key="lang", order_col="n_tokens",
+                           id_col="doc_id", descending=True)
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
+def dedup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup CLUSTERS: connected components over the minhash-
+    verified pair graph (canonical = min doc_id per component) — the
+    form a dedup actually consumes (keep canonical, drop members)."""
+    from web_search_engine_ray.pipelines.analysis import (
+        connected_components, near_dup_pairs)
+    pairs = near_dup_pairs(_docs_ds(sf_dir, ["doc_id", "text"]),
+                           _documents_path(sf_dir), threshold=0.8)
+    return connected_components(pairs)
+
+
 def events_resample(sf_dir: str) -> pa.Table:
     """Hourly resample per user with gap filling (window.resample_ffill):
     dense bucket grid per user, count 0 in gaps, value forward-filled."""
@@ -1769,6 +1800,31 @@ SELECT event_type,
                   CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
          AS corr_vk
 FROM events GROUP BY event_type ORDER BY event_type""",
+    "docs_dist_rank": """
+WITH s AS (SELECT doc_id, lang,
+                  len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                    AS n_tokens
+           FROM documents)
+SELECT doc_id, lang, n_tokens,
+       round(percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY n_tokens DESC), 6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY lang
+                               ORDER BY n_tokens DESC), 6) AS cume_dist
+FROM s ORDER BY doc_id""",
+    # connected components over the same verified-pair set the
+    # dedup_minhash oracle defines; min-label propagation as a
+    # recursive CTE
+    "dedup_clusters": f"""
+WITH RECURSIVE pr AS (SELECT * FROM ({_jaccard_sql(0.8)})),
+edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pr
+          UNION ALL SELECT doc_id_b, doc_id_a FROM pr),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+cc(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.id)
+SELECT id AS doc_id, min(lbl)::BIGINT AS canonical_id
+FROM cc GROUP BY id ORDER BY doc_id""",
     "events_resample": """
 WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
                   count(*)::BIGINT AS n, round(sum(value), 6) AS s
@@ -1890,6 +1946,8 @@ QUERIES = {
     "events_mode": events_mode,
     "docs_regex": docs_regex,
     "events_corr": events_corr,
+    "docs_dist_rank": docs_dist_rank,
+    "dedup_clusters": dedup_clusters,
     "events_resample": events_resample,
     "docs_weighted_sample": docs_weighted_sample,
     "knn_pq": knn_pq,                 # rows-only (approximate; recall pytest)
