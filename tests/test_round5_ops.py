@@ -546,3 +546,31 @@ def test_dist_rank_single_row_key(ray_session):
         id_col="event_id"))
     assert got.column("pct_rank").to_pylist() == [0.0]
     assert got.column("cume_dist").to_pylist() == [1.0]
+
+
+def test_token_entropy_uniform_and_constant(ray_session):
+    from web_search_engine_ray.pipelines.analysis import token_entropy_batch
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        # 4 distinct tokens -> ln(4); all-same -> 0; empty -> no row
+        "text": pa.array(["a b c d", "x x x x", "   "], pa.string())})
+    got = token_entropy_batch(tbl)
+    assert got.column("doc_id").to_pylist() == [0, 1]
+    assert got.column("entropy").to_pylist() == \
+        [round(float(np.log(4)), 6), 0.0]
+
+
+def test_string_agg_order_and_ties(ray_session):
+    from web_search_engine_ray.pipelines.analytic import string_agg_by_key
+    # duplicate ts -> event_id tie-break pins the order
+    ts = np.array([5, 5, 1], "datetime64[us]")
+    tbl = pa.table({"user_id": pa.array([1, 1, 1], pa.int64()),
+                    "event_id": pa.array([2, 1, 0], pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "event_type": pa.array(["c", "b", "a"], pa.string())})
+    got = pa.concat_tables(list(string_agg_by_key(
+        ray.data.from_arrow(tbl), key="user_id", val_col="event_type",
+        ts_col="ts", id_col="event_id").iter_batches(
+            batch_format="pyarrow")))
+    assert got.column("seq").to_pylist() == ["a,b,c"]
+    assert got.column("n_vals").to_pylist() == [3]

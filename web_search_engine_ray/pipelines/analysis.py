@@ -1022,3 +1022,49 @@ def connected_components(pairs: pa.Table, a_col: str = "doc_id_a",
     return pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "canonical_id": pa.array([find(i) for i in ids], pa.int64())})
+
+
+def token_entropy_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc Shannon entropy of the token distribution (nats, rounded
+    to 6) — the vocabulary-diversity quality signal beside the Gopher
+    repetition fractions.  Docs with zero tokens emit no row (matching
+    the SQL oracle, whose token CTE has no rows for them).
+
+    Vectorized across the batch: one factorize over all tokens, one
+    lexsort by (doc, code), reduceat for per-(doc, term) counts, a
+    second reduceat for per-doc -sum(p ln p) — no per-doc numpy calls.
+    """
+    import pandas as pd
+
+    from web_search_engine_ray.spec import tokenize
+    all_toks: list[str] = []
+    lens: list[int] = []
+    keep_ids: list[int] = []
+    for did, text in zip(batch.column("doc_id").to_pylist(),
+                         batch.column("text").to_pylist()):
+        toks = tokenize(text)
+        if toks:
+            all_toks.extend(toks)
+            lens.append(len(toks))
+            keep_ids.append(did)
+    if not all_toks:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "entropy": pa.array([], pa.float64())})
+    codes, _u = pd.factorize(np.asarray(all_toks, dtype=object))
+    lens_a = np.asarray(lens, np.int64)
+    doc_idx = np.repeat(np.arange(len(lens_a)), lens_a)
+    o = np.lexsort((codes, doc_idx))
+    di, co = doc_idx[o], codes[o]
+    pst, _pen = _group_slices([di, co])
+    pair_cnt = np.diff(np.r_[pst, len(di)])
+    pair_doc = di[pst]
+    L = lens_a[pair_doc].astype(np.float64)
+    p = pair_cnt / L
+    terms = -p * np.log(p)
+    dst, _den = _group_slices([pair_doc])
+    ent = np.add.reduceat(terms, dst)
+    return pa.table({
+        "doc_id": pa.array(keep_ids, pa.int64()),
+        "n_tokens": pa.array(lens_a, pa.int64()),
+        "entropy": pa.array(np.round(ent, 6), pa.float64())})

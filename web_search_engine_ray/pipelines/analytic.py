@@ -366,3 +366,41 @@ def dist_rank_in_key(ds: "ray.data.Dataset", key: str, order_col: str,
                           num_partitions).map_batches(
         _part, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def string_agg_by_key(ds: "ray.data.Dataset", key: str, val_col: str,
+                      ts_col: str, id_col: str, sep: str = ",",
+                      num_partitions: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Per-key ordered concatenation — exactly ``string_agg(val, sep
+    ORDER BY ts, id)``.  Same one-exchange run-sliced shape as the
+    other analytic ops; the per-run join is a str.join over the run's
+    slice (string assembly is inherently per key — the sort and run
+    detection stay vectorized).  Emits (key, seq, n_vals).
+
+    Partitioning assumption: a key's concatenated string must fit a
+    worker's heap (it IS the output row) — same contract as the
+    module's complete-groups rule."""
+    cols = list(dict.fromkeys([key, val_col, ts_col, id_col]))
+    sch = ds.schema()
+    key_t = sch.types[sch.names.index(key)]
+
+    def _part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key: pa.array([], key_t),
+                             "seq": pa.array([], pa.string()),
+                             "n_vals": pa.array([], pa.int64())})
+        order, starts, ends, _ts = _sorted_runs(batch, key, ts_col, id_col)
+        vals = np.asarray(batch.column(val_col).to_numpy(
+            zero_copy_only=False), object)[order]
+        seqs = [sep.join(vals[s:e]) for s, e in zip(starts, ends)]
+        t = batch.take(pa.array(order[starts], pa.int64()))
+        return pa.table({
+            key: t.column(key),
+            "seq": pa.array(seqs, pa.string()),
+            "n_vals": pa.array(ends - starts, pa.int64())})
+
+    return hash_partition(ds.select_columns(cols), [key],
+                          num_partitions).map_batches(
+        _part, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)

@@ -1230,6 +1230,28 @@ def events_users_except(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("user_id", "ascending")])
 
 
+def docs_entropy(sf_dir: str) -> pa.Table:
+    """Per-doc token-distribution Shannon entropy (nats) — the
+    vocabulary-diversity quality signal (analysis.token_entropy_batch,
+    batch-vectorized factorize + double reduceat)."""
+    from web_search_engine_ray.pipelines.analysis import token_entropy_batch
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        token_entropy_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(ds).sort_by([("doc_id", "ascending")])
+
+
+def users_event_seq(sf_dir: str) -> pa.Table:
+    """Per-user ordered event-type sequence — exercises
+    analytic.string_agg_by_key (string_agg ... ORDER BY ts, id)."""
+    from web_search_engine_ray.pipelines.analytic import string_agg_by_key
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id"])
+    out = string_agg_by_key(ds, key="user_id", val_col="event_type",
+                            ts_col="ts", id_col="event_id")
+    return _collect(out).sort_by([("user_id", "ascending")])
+
+
 def docs_dist_rank(sf_dir: str) -> pa.Table:
     """PERCENT_RANK / CUME_DIST of docs per language by token count
     (DESC) — exercises analytic.dist_rank_in_key; the tie-heavy integer
@@ -1800,6 +1822,19 @@ SELECT event_type,
                   CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
          AS corr_vk
 FROM events GROUP BY event_type ORDER BY event_type""",
+    "docs_entropy": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS c FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(c) AS L FROM tf GROUP BY 1)
+SELECT t.doc_id, CAST(d.L AS BIGINT) AS n_tokens,
+       round(-sum((t.c / d.L) * ln(t.c / d.L)), 6) AS entropy
+FROM tf t JOIN dl d USING (doc_id)
+GROUP BY t.doc_id, d.L ORDER BY t.doc_id""",
+    "users_event_seq": """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+       count(*)::BIGINT AS n_vals
+FROM events GROUP BY user_id ORDER BY user_id""",
     "docs_dist_rank": """
 WITH s AS (SELECT doc_id, lang,
                   len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
@@ -1946,6 +1981,8 @@ QUERIES = {
     "events_mode": events_mode,
     "docs_regex": docs_regex,
     "events_corr": events_corr,
+    "docs_entropy": docs_entropy,
+    "users_event_seq": users_event_seq,
     "docs_dist_rank": docs_dist_rank,
     "dedup_clusters": dedup_clusters,
     "events_resample": events_resample,
