@@ -1230,6 +1230,18 @@ def events_users_except(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("user_id", "ascending")])
 
 
+def tpch_top_suppliers(sf_dir: str) -> pa.Table:
+    """Top-10 suppliers by lineitem revenue — fact-side combiner +
+    driver-side dimension join (relational.top_suppliers)."""
+    from web_search_engine_ray.pipelines.relational import top_suppliers
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    return top_suppliers(line, supp, k=10)
+
+
 def docs_entropy(sf_dir: str) -> pa.Table:
     """Per-doc token-distribution Shannon entropy (nats) — the
     vocabulary-diversity quality signal (analysis.token_entropy_batch,
@@ -1822,6 +1834,14 @@ SELECT event_type,
                   CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
          AS corr_vk
 FROM events GROUP BY event_type ORDER BY event_type""",
+    "tpch_top_suppliers": """
+WITH r AS (SELECT l_suppkey,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2)
+                    AS revenue
+           FROM lineitem GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.revenue
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+ORDER BY r.revenue DESC, s.s_suppkey LIMIT 10""",
     "docs_entropy": f"""
 WITH toks AS ({_TOKS}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS c FROM toks GROUP BY 1, 2),
@@ -1981,6 +2001,7 @@ QUERIES = {
     "events_mode": events_mode,
     "docs_regex": docs_regex,
     "events_corr": events_corr,
+    "tpch_top_suppliers": tpch_top_suppliers,
     "docs_entropy": docs_entropy,
     "users_event_seq": users_event_seq,
     "docs_dist_rank": docs_dist_rank,

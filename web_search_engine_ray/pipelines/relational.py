@@ -553,3 +553,44 @@ def dataset_except(left: "ray.data.Dataset", right: "ray.data.Dataset",
     hash exchange + run-sliced pass; see _set_op."""
     return _set_op(left, right, keys, keep_both=False,
                    num_partitions=num_partitions)
+
+
+def top_suppliers(lineitem: "ray.data.Dataset", supplier: pa.Table,
+                  k: int = 10) -> pa.Table:
+    """Top-k suppliers by revenue (sum of extendedprice*(1-discount)),
+    ties by s_suppkey — the supplier-side revenue ranking.
+
+    Shape: per-batch Arrow combiner keyed on l_suppkey (each batch
+    collapses to its distinct-supplier count), driver sum over the
+    supplier-count-bounded partial rows, then the (tiny) supplier
+    dimension table joined driver-side for names — the fact table is
+    never shuffled and the dimension never leaves the driver.  At a
+    supplier cardinality where the partials stop being small, swap the
+    driver sum for one hash exchange (the pricing_summary pattern)."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        t = batch.select(["l_suppkey"]).append_column("rev", rev)
+        g = pa.TableGroupBy(t, ["l_suppkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_suppkey", "rev"])
+
+    acc: dict[int, float] = {}
+    for t in lineitem.select_columns(
+            ["l_suppkey", "l_extendedprice", "l_discount"]).map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for sk, r in zip(t.column("l_suppkey").to_pylist(),
+                         t.column("rev").to_pylist()):
+            acc[sk] = acc.get(sk, 0.0) + r
+    names = dict(zip(supplier.column("s_suppkey").to_pylist(),
+                     supplier.column("s_name").to_pylist()))
+    rows = sorted(((round(v, 2), sk) for sk, v in acc.items()),
+                  key=lambda x: (-x[0], x[1]))[:k]
+    return pa.table({
+        "s_suppkey": pa.array([sk for _, sk in rows], pa.int64()),
+        "s_name": pa.array([names.get(sk) for _, sk in rows], pa.string()),
+        "revenue": pa.array([v for v, _ in rows], pa.float64())})
