@@ -58,9 +58,11 @@ def group_slices(sort_cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               on: str, num_partitions: int | None = None,
               suffix: str = "_r", how: str = "inner") -> "ray.data.Dataset":
-    """Hash join (``how`` = "inner" | "left", i.e. LEFT OUTER: left rows
-    with no match keep null right columns) as ONE exchange: tag each
-    side, union, hash-partition on the key, then a per-partition
+    """Hash join (``how`` = "inner" | "left" | "full"; "left" is LEFT
+    OUTER — left rows with no match keep null right columns; "full" is
+    FULL OUTER — unmatched rows from EITHER side survive with the other
+    side's columns null and the key coalesced) as ONE exchange: tag
+    each side, union, hash-partition on the key, then a per-partition
     pyarrow (acero) join.
 
     Exists because Dataset.join's aggregator crashes on EMPTY hash
@@ -74,9 +76,11 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     """
     import pyarrow as pa
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    join_type = "inner" if how == "inner" else "left outer"
+    if how not in ("inner", "left", "full"):
+        raise ValueError(
+            f"how must be 'inner', 'left' or 'full', got {how!r}")
+    join_type = {"inner": "inner", "left": "left outer",
+                 "full": "full outer"}[how]
     ls, rs = left.schema(), right.schema()
     if on not in ls.names or on not in rs.names:
         raise ValueError(f"join key {on!r} missing: {ls.names} / {rs.names}")
@@ -189,3 +193,46 @@ def anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               ) -> "ray.data.Dataset":
     """Left rows whose key does NOT appear on the right."""
     return _existence_join(left, right, on, False, num_partitions)
+
+
+def broadcast_join(left: "ray.data.Dataset", small: "pa.Table", on: str,
+                   suffix: str = "_r",
+                   how: str = "inner") -> "ray.data.Dataset":
+    """Map-side (broadcast) join: the SMALL side is ``ray.put`` into
+    the object store ONCE and every map task joins its batch against
+    the shared copy — zero shuffle of the big side, the standard plan
+    for fact x dimension joins at scale (a hash exchange of the fact
+    table to meet a kilobyte dimension is pure waste).
+
+    ``how`` = "inner" | "left" (left outer).  Small-side non-key
+    columns colliding with left names get ``suffix``.  The small side
+    must fit in a worker's heap — that is the operator's contract;
+    use :func:`hash_join` when both sides are large."""
+    import pyarrow as pa
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    join_type = "inner" if how == "inner" else "left outer"
+    lnames = left.schema().names
+    if on not in lnames or on not in small.schema.names:
+        raise ValueError(f"join key {on!r} missing: "
+                         f"{lnames} / {small.schema.names}")
+    ren = {n: (n + suffix if n in lnames else n)
+           for n in small.schema.names if n != on}
+    small = small.select([on] + list(ren)).rename_columns(
+        [on] + [ren[n] for n in ren])
+    small_ref = ray.put(small)
+    out_names = lnames + [ren[n] for n in ren]
+
+    class _Join:
+        def __init__(self):
+            # one object-store fetch per ACTOR, shared across batches
+            self.small = ray.get(small_ref)
+
+        def __call__(self, batch: "pa.Table") -> "pa.Table":
+            return batch.join(self.small, keys=on,
+                              join_type=join_type).select(out_names)
+
+    return left.map_batches(_Join, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            concurrency=(1, 8))

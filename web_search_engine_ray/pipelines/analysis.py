@@ -690,8 +690,11 @@ def _chunk_pair_table(refs_ref, i: int, j: int,
         r, c = np.nonzero(sims >= threshold)
         a, b = ids_a[r], ids_b[c]
         s = sims[r, c]
-        flip = a > b
-        a, b = np.where(flip, b, a), np.where(flip, a, b)
+    # normalize to a < b in BOTH branches: triu gives positional order
+    # i < j, but chunk rows are not guaranteed id-sorted after the
+    # repartition merge, so positional order is not id order
+    flip = a > b
+    a, b = np.where(flip, b, a), np.where(flip, a, b)
     return pa.table({"vec_id_a": pa.array(a.astype(np.int64)),
                      "vec_id_b": pa.array(b.astype(np.int64)),
                      "sim": pa.array(np.round(s, 6), pa.float64())})

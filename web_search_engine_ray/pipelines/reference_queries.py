@@ -1457,6 +1457,233 @@ def events_histogram(sf_dir: str) -> pa.Table:
     return value_histogram(ds, col="value", origin=0.0, width=25.0)
 
 
+def events_first_last(sf_dir: str) -> pa.Table:
+    """Per-user FIRST_VALUE/LAST_VALUE of value ordered by (ts,
+    event_id) — window.first_last_by_key (extremal-row combiner: the
+    exchange ships <= 2 rows per user per block)."""
+    from web_search_engine_ray.pipelines.window import first_last_by_key
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    out = first_last_by_key(ds, key="user_id", ts_col="ts",
+                            val_col="value", id_col="event_id")
+    return _collect(out).sort_by([("user_id", "ascending")])
+
+
+def events_full_outer(sf_dir: str) -> pa.Table:
+    """FULL OUTER hash join (grouping.hash_join how="full"): per-user
+    high-value event counts vs per-user low-value error counts — each
+    side is sparse, so unmatched rows survive from BOTH sides with the
+    key coalesced and the other side's count null-filled to 0."""
+    import pyarrow.compute as pc
+    from web_search_engine_ray.functions.grouping import hash_join
+
+    ev = os.path.join(sf_dir, "events.parquet")
+
+    def _rename(name):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["user_id", name])
+        return f
+
+    # each count side MATERIALIZES before the join: two parallel
+    # groupby-shuffle branches feeding the join's union-shuffle in ONE
+    # streaming plan can deadlock on small CPU budgets (the three
+    # shuffles' aggregator actors starve the upstream map tasks —
+    # reproduced at num_cpus=4); sequential execution needs one
+    # shuffle's actors at a time, and the sides are aggregate-sized
+    a = ray.data.read_parquet(
+        ev, columns=["user_id"],
+        filter=pc.field("value") > 250.0).groupby("user_id").count() \
+        .map_batches(_rename("n_hi"), batch_format="pyarrow") \
+        .materialize()
+    b = ray.data.read_parquet(
+        ev, columns=["user_id"],
+        filter=(pc.field("event_type") == "error")
+        & (pc.field("value") < 15.0)).groupby("user_id").count() \
+        .map_batches(_rename("n_err"), batch_format="pyarrow") \
+        .materialize()
+
+    def _fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "n_hi": pc.fill_null(t.column("n_hi"), 0),
+            "n_err": pc.fill_null(t.column("n_err"), 0)})
+
+    out = hash_join(a, b, on="user_id", how="full").map_batches(
+        _fill, batch_format="pyarrow")
+    return _collect(out).sort_by([("user_id", "ascending")])
+
+
+def events_regr(sf_dir: str) -> pa.Table:
+    """Per-type OLS regression of the props-JSON field k on value
+    (stats.grouped_linreg): streaming moment partials, driver combine
+    is |types| x 6."""
+    import json as _json
+
+    from web_search_engine_ray.pipelines.stats import grouped_linreg
+
+    def _k(batch: pa.Table) -> pa.Table:
+        ks = np.asarray([float(_json.loads(p)["k"]) for p in
+                         batch.column("props").to_pylist()])
+        return pa.table({"event_type": batch.column("event_type"),
+                         "value": batch.column("value"),
+                         "k": pa.array(ks, pa.float64())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value", "props"]).map_batches(
+            _k, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_linreg(ds, key="event_type", x_col="value", y_col="k")
+
+
+def lineitem_unpivot(sf_dir: str) -> pa.Table:
+    """Melt (relational.unpivot): wide lineitem measures stack into
+    (l_orderkey, l_linenumber, metric, value) long form — the SQL
+    UNPIVOT / UNION ALL, filtered at the read (predicate pushdown)."""
+    import pyarrow.compute as pc
+    from web_search_engine_ray.pipelines.relational import unpivot
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+        filter=pc.field("l_orderkey") < 100)
+    out = unpivot(ds, ["l_orderkey", "l_linenumber"],
+                  ["l_quantity", "l_extendedprice", "l_discount"])
+    return _collect(out).sort_by([
+        ("l_orderkey", "ascending"), ("l_linenumber", "ascending"),
+        ("metric", "ascending")])
+
+
+def emb_dim_stats(sf_dir: str) -> pa.Table:
+    """Per-dimension mean/stddev of the embedding column
+    (vectors.dim_stats) — explode-then-aggregate with dim x 3 partials
+    instead of a materialized long form."""
+    from web_search_engine_ray.pipelines.vectors import dim_stats
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["embedding"])
+    return dim_stats(ds, vec_col="embedding")
+
+
+def events_new_users(sf_dir: str) -> pa.Table:
+    """Daily acquisition counts (cohort.new_users_per_day): per-user
+    min-ts combiner, one hash exchange, |days| driver state."""
+    from web_search_engine_ray.pipelines.cohort import new_users_per_day
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    return new_users_per_day(ds, user_col="user_id", ts_col="ts")
+
+
+def events_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix (cohort.retention_matrix): distinct
+    (user, day) combiner, one hash exchange on user, |days|^2 driver
+    state."""
+    from web_search_engine_ray.pipelines.cohort import retention_matrix
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    return retention_matrix(ds, user_col="user_id", ts_col="ts")
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_sum(sf_dir: str) -> pa.Table:
+    """SUM-valued crosstab (relational.pivot_sum): per user one float64
+    column per pinned event type holding its value sum."""
+    from web_search_engine_ray.pipelines.relational import pivot_sum
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type", "value"])
+    return pivot_sum(ds, row_key="user_id", col_key="event_type",
+                     value_col="value", categories=EVENT_TYPES)
+
+
+def customer_nation_broadcast(sf_dir: str) -> pa.Table:
+    """Fact x dimension via grouping.broadcast_join: the nation table
+    is ray.put once and every map task joins its customer batch
+    map-side — zero shuffle of the fact side; the aggregate after the
+    join is a per-batch combiner too."""
+    from web_search_engine_ray.functions.grouping import broadcast_join
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"]) \
+        .rename_columns(["c_nationkey", "n_name"])
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_nationkey",
+                                          "c_acctbal"])
+    joined = broadcast_join(cust, nation, on="c_nationkey")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["n_name", "c_acctbal"]),
+                            ["n_name"]).aggregate(
+            [([], "count_all"), ("c_acctbal", "sum")])
+        return g.rename_columns(["n_name", "n", "s"])
+
+    acc: dict[str, list] = {}
+    for b in joined.map_batches(_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for nm, n, s in zip(b.column("n_name").to_pylist(),
+                            b.column("n").to_pylist(),
+                            b.column("s").to_pylist()):
+            a = acc.setdefault(nm, [0, 0.0])
+            a[0] += n
+            a[1] += s
+    names = sorted(acc)
+    return pa.table({
+        "n_name": pa.array(names, pa.string()),
+        "n_customers": pa.array([acc[n][0] for n in names], pa.int64()),
+        "avg_acctbal": pa.array([round(acc[n][1] / acc[n][0], 6)
+                                 for n in names], pa.float64())})
+
+
+def events_latest(sf_dir: str) -> pa.Table:
+    """Log-compaction / last-write-wins: each user's LATEST event row
+    (ts desc, event_id tie-break) — group_topk k=1 with the blockwise
+    pre-prune, so the exchange ships one candidate row per user per
+    block."""
+    from web_search_engine_ray.pipelines.window import group_topk
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    out = group_topk(ds, key="user_id", order_col="ts", k=1,
+                     ascending=False, id_col="event_id")
+    return out.select(["user_id", "event_id", "ts", "value"]) \
+        .sort_by([("user_id", "ascending")])
+
+
+def events_daily_active(sf_dir: str) -> pa.Table:
+    """Daily active users (exact COUNT DISTINCT per day): derive the
+    day key per batch, then distinct.count_distinct's pair-keyed
+    exchange."""
+    from web_search_engine_ray.pipelines.distinct import count_distinct
+
+    def _day(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        day = (ts // 86_400_000_000) * 86_400_000_000
+        return pa.table({
+            "day": pa.array(day.view("datetime64[us]"),
+                            pa.timestamp("us")),
+            "user_id": batch.column("user_id")})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id"]).map_batches(
+        _day, batch_format="pyarrow", zero_copy_batch=True)
+    return count_distinct(ds, key="day", col="user_id")
+
+
+def events_profile(sf_dir: str) -> pa.Table:
+    """Numeric column profiler (profile.profile_numeric): one
+    streaming pass, |cols| x 6 driver state — the pre/post-transform
+    DESCRIBE of a curation run.  Profiled columns are continuous
+    (value) or exact-integer (user_id, event_id): a round-6 mean of
+    DISCRETE-decimal data (e.g. l_discount's 0.01 steps) sits exactly
+    on a rounding half-boundary where summation-order noise flips the
+    last digit between any two engines — not oracle-comparable."""
+    from web_search_engine_ray.pipelines.profile import profile_numeric
+    cols = ["event_id", "user_id", "value"]
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=cols)
+    return profile_numeric(ds, cols)
+
+
 from web_search_engine_ray.functions.textproc import STOPWORDS  # noqa: E402
 from web_search_engine_ray.pipelines.curation import DECONTAM_K  # noqa: E402
 
@@ -1919,6 +2146,92 @@ SELECT CAST(floor((value - 0.0) / 25.0) AS BIGINT) AS bin,
          AS lo_edge,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1 ORDER BY bin""",
+    "events_first_last": """
+SELECT user_id,
+       first(value ORDER BY ts, event_id) AS first_val,
+       last(value ORDER BY ts, event_id) AS last_val
+FROM events GROUP BY user_id ORDER BY user_id""",
+    "events_full_outer": """
+WITH a AS (SELECT user_id, count(*)::BIGINT AS n_hi FROM events
+           WHERE value > 250.0 GROUP BY 1),
+     b AS (SELECT user_id, count(*)::BIGINT AS n_err FROM events
+           WHERE event_type = 'error' AND value < 15.0 GROUP BY 1)
+SELECT user_id, COALESCE(n_hi, 0) AS n_hi, COALESCE(n_err, 0) AS n_err
+FROM a FULL OUTER JOIN b USING (user_id) ORDER BY user_id""",
+    "events_regr": """
+WITH xy AS (SELECT event_type, value,
+                   CAST(props->>'k' AS DOUBLE) AS k FROM events)
+SELECT event_type, count(*)::BIGINT AS n_pts,
+       round(regr_slope(k, value), 6) AS slope,
+       round(regr_intercept(k, value), 6) AS intercept,
+       round(regr_r2(k, value), 6) AS r2
+FROM xy GROUP BY event_type ORDER BY event_type""",
+    "lineitem_unpivot": """
+SELECT l_orderkey, l_linenumber, metric, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+         CAST(l_quantity AS DOUBLE) AS value
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+         CAST(l_extendedprice AS DOUBLE)
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount',
+         CAST(l_discount AS DOUBLE)
+  FROM lineitem WHERE l_orderkey < 100)
+ORDER BY l_orderkey, l_linenumber, metric""",
+    "emb_dim_stats": """
+SELECT CAST(ord AS BIGINT) AS ord, count(*)::BIGINT AS n,
+       round(avg(x), 6) AS mean_v, round(stddev_pop(x), 6) AS std_v
+FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS ord
+      FROM embeddings)
+GROUP BY ord ORDER BY ord""",
+    "events_new_users": """
+SELECT day, count(*)::BIGINT AS n_new_users FROM (
+  SELECT user_id, min(date_trunc('day', ts)) AS day
+  FROM events GROUP BY user_id)
+GROUP BY day ORDER BY day""",
+    "events_retention": """
+WITH fs AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+            FROM events GROUP BY user_id),
+     act AS (SELECT DISTINCT user_id, date_trunc('day', ts)
+               AS active_day FROM events)
+SELECT cohort_day, active_day, count(*)::BIGINT AS n_users
+FROM fs JOIN act USING (user_id)
+GROUP BY cohort_day, active_day ORDER BY cohort_day, active_day""",
+    "events_pivot_sum": (
+        "SELECT user_id, "
+        + ", ".join(
+            "round(COALESCE(sum(value) FILTER (WHERE event_type = "
+            f"'{t}'), 0.0), 6) AS {t}"
+            for t in ["click", "error", "purchase", "signup", "view"])
+        + " FROM events GROUP BY user_id ORDER BY user_id"),
+    "customer_nation_broadcast": """
+SELECT n_name, count(*)::BIGINT AS n_customers,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name""",
+    "events_latest": """
+SELECT user_id, event_id, ts, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id) = 1
+ORDER BY user_id""",
+    "events_daily_active": """
+SELECT date_trunc('day', ts) AS day,
+       count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1 ORDER BY 1""",
+    "events_profile": """
+WITH m AS (
+  SELECT 'event_id' AS "column", CAST(event_id AS DOUBLE) AS v
+  FROM events
+  UNION ALL SELECT 'user_id', CAST(user_id AS DOUBLE) FROM events
+  UNION ALL SELECT 'value', value FROM events)
+SELECT "column", count(v)::BIGINT AS n,
+       (count(*) - count(v))::BIGINT AS n_null,
+       round(avg(v), 6) AS mean, round(stddev_pop(v), 6) AS std,
+       round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
+FROM m GROUP BY "column" ORDER BY "column\"""",
 }
 
 # The driver's correctness harness runs the FIRST 50 entries of
@@ -2010,4 +2323,16 @@ QUERIES = {
     "docs_weighted_sample": docs_weighted_sample,
     "knn_pq": knn_pq,                 # rows-only (approximate; recall pytest)
     "knn_ivfpq": knn_ivfpq,           # rows-only (approximate; recall pytest)
+    "events_first_last": events_first_last,
+    "events_full_outer": events_full_outer,
+    "events_regr": events_regr,
+    "lineitem_unpivot": lineitem_unpivot,
+    "emb_dim_stats": emb_dim_stats,
+    "events_new_users": events_new_users,
+    "events_retention": events_retention,
+    "events_pivot_sum": events_pivot_sum,
+    "customer_nation_broadcast": customer_nation_broadcast,
+    "events_latest": events_latest,
+    "events_daily_active": events_daily_active,
+    "events_profile": events_profile,
 }

@@ -317,6 +317,63 @@ def pivot_counts(ds: "ray.data.Dataset", row_key: str, col_key: str,
     return pa.table(out)
 
 
+def pivot_sum(ds: "ray.data.Dataset", row_key: str, col_key: str,
+              value_col: str, categories: list[str],
+              decimals: int = 6) -> pa.Table:
+    """SUM-valued crosstab: one row per ``row_key``, one float64 column
+    per pinned category holding ``SUM(value) FILTER (col = cat)`` (0.0
+    where the cell is empty — the COALESCE'd SQL form).  Same combiner
+    contract as pivot_counts: each batch collapses to its distinct
+    (row, col) partial sums; driver state is |rows| x |categories|."""
+    row_t = ds.schema().types[ds.schema().names.index(row_key)]
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({
+            "r": batch.column(row_key), "c": batch.column(col_key),
+            "v": batch.column(value_col)}), ["r", "c"]) \
+            .aggregate([("v", "sum")])
+        return pa.table({"r": g.column("r"), "c": g.column("c"),
+                         "s": g.column("v_sum")})
+
+    acc: dict[tuple, float] = {}
+    for b in ds.select_columns([row_key, col_key, value_col]).map_batches(
+            _cells, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        for r, c, s in zip(b.column("r").to_pylist(),
+                           b.column("c").to_pylist(),
+                           b.column("s").to_pylist()):
+            acc[(r, c)] = acc.get((r, c), 0.0) + s
+    rows = sorted({r for r, _ in acc})
+    out = {row_key: pa.array(rows, row_t)}
+    for cat in categories:
+        out[cat] = pa.array(
+            [round(acc.get((r, cat), 0.0), decimals) for r in rows],
+            pa.float64())
+    return pa.table(out)
+
+
+def unpivot(ds: "ray.data.Dataset", id_cols: list[str],
+            value_cols: list[str], name_col: str = "metric",
+            value_col: str = "value") -> "ray.data.Dataset":
+    """Melt (the inverse of pivot): wide rows (id..., v1, v2, ...)
+    become |value_cols| long rows (id..., metric=<col name>,
+    value=<float64 v>) — the SQL ``UNPIVOT`` / stacked ``UNION ALL``.
+    Pure per-batch reshape (one projected sub-table per value column,
+    concatenated): no shuffle, no driver state, output streams at
+    |value_cols| x input rows."""
+    def _melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_cols:
+            parts.append(pa.table({
+                **{c: batch.column(c) for c in id_cols},
+                name_col: pa.array([vc] * batch.num_rows, pa.string()),
+                value_col: batch.column(vc).cast(pa.float64())}))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        _melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _finest_counts(ds: "ray.data.Dataset", keys: list[str]) -> pa.Table:
     """ONE streaming pass of per-batch combiner counts at the finest
     (all-keys) level, summed driver-side — |distinct key tuples| rows

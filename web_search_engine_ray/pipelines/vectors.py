@@ -16,6 +16,59 @@ import pyarrow as pa
 import ray.data
 
 
+def dim_stats(ds: "ray.data.Dataset", vec_col: str) -> pa.Table:
+    """Per-dimension moments of a ``list<float>`` column — the
+    explode-then-aggregate (SQL ``unnest`` + ``GROUP BY ord``) without
+    ever materializing the exploded long form: each batch reduces to a
+    (dim x 3) partial [n, sum, sumsq] via one reshape + column sums, so
+    the driver state is dim x 3 floats regardless of corpus size.
+    Emits (ord 1-based, n, mean_v, std_v) — std is the POPULATION
+    stddev (``stddev_pop``), rounded to 6."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vecs = batch.column(vec_col)
+        flat = np.asarray(vecs.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), np.float64)
+        n = batch.num_rows
+        d = len(flat) // n if n else 0
+        if n == 0 or d == 0:
+            return pa.table({"ord": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "ss": pa.array([], pa.float64())})
+        if len(flat) != n * d:
+            raise ValueError("dim_stats requires fixed-length vectors; "
+                             f"got {len(flat)} values / {n} rows")
+        mat = flat.reshape(n, d)
+        return pa.table({
+            "ord": pa.array(np.arange(1, d + 1), pa.int64()),
+            "n": pa.array(np.full(d, n, np.int64)),
+            "s": pa.array(mat.sum(axis=0), pa.float64()),
+            "ss": pa.array((mat * mat).sum(axis=0), pa.float64())})
+
+    acc: dict[int, list] = {}
+    for b in ds.select_columns([vec_col]).map_batches(
+            _partial, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        for o, n, s, ss in zip(b.column("ord").to_pylist(),
+                               b.column("n").to_pylist(),
+                               b.column("s").to_pylist(),
+                               b.column("ss").to_pylist()):
+            a = acc.setdefault(o, [0, 0.0, 0.0])
+            a[0] += n
+            a[1] += s
+            a[2] += ss
+    ords = sorted(acc)
+    mean = [acc[o][1] / acc[o][0] for o in ords]
+    std = [np.sqrt(max(0.0, acc[o][2] / acc[o][0] - m * m))
+           for o, m in zip(ords, mean)]
+    return pa.table({
+        "ord": pa.array(ords, pa.int64()),
+        "n": pa.array([acc[o][0] for o in ords], pa.int64()),
+        "mean_v": pa.array([round(m, 6) for m in mean], pa.float64()),
+        "std_v": pa.array([round(s, 6) for s in std], pa.float64())})
+
+
 def label_centroids(ds: "ray.data.Dataset", label_col: str,
                     vec_col: str) -> pa.Table:
     """(label, ord, v) long-form centroids: v = mean of component

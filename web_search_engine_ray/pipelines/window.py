@@ -30,8 +30,12 @@ def group_topk(ds: "ray.data.Dataset", key: str, order_col: str,
     is raised if none exists — pass id_col explicitly for stability
     across schema changes).
 
-    One hash shuffle + one vectorized partition pass; per-group heap
-    size k, never a global sort.
+    Shape: a per-BLOCK combiner first prunes each block to its own
+    per-key top-k (any row outside a block's local top-k cannot be in
+    the global top-k for that key), so the hash exchange ships at most
+    k rows per key per block — not the full input; then one vectorized
+    partition pass re-selects and ranks.  Per-group heap size k, never
+    a global sort.
     """
     schema_names = [n for n in ds.schema().names]
     if id_col is None:
@@ -45,10 +49,13 @@ def group_topk(ds: "ray.data.Dataset", key: str, order_col: str,
     elif id_col not in schema_names:
         raise ValueError(f"id_col {id_col!r} not in schema {schema_names}")
 
-    def topk_partition(batch: pa.Table) -> pa.Table:
+    def _select_topk(batch: pa.Table, with_rank: bool) -> pa.Table:
         import pyarrow.compute as pc
         if batch.num_rows == 0:
-            return batch.append_column("rank", pa.array([], pa.int32()))
+            if with_rank:
+                return batch.append_column("rank",
+                                           pa.array([], pa.int32()))
+            return batch
         idx = pc.sort_indices(batch, sort_keys=[
             (key, "ascending"),
             (order_col, "descending" if not ascending else "ascending"),
@@ -56,17 +63,20 @@ def group_topk(ds: "ray.data.Dataset", key: str, order_col: str,
         t = batch.take(idx)
         keys_np = np.asarray(t.column(key).to_pylist(), dtype=object)
         starts, ends = group_slices([keys_np])
-        take_idx, ranks = [], []
-        for s, e in zip(starts, ends):
-            n = min(k, e - s)
-            take_idx.extend(range(s, s + n))
-            ranks.extend(range(1, n + 1))
-        out = t.take(pa.array(take_idx, pa.int64()))
-        return out.append_column("rank", pa.array(ranks, pa.int32()))
+        n = np.minimum(ends - starts, k)
+        off = np.arange(int(n.sum()), dtype=np.int64) - \
+            np.repeat(np.cumsum(n) - n, n)
+        out = t.take(pa.array(np.repeat(starts, n) + off, pa.int64()))
+        if with_rank:
+            out = out.append_column(
+                "rank", pa.array((off + 1).astype(np.int32), pa.int32()))
+        return out
 
-    parts = hash_partition(ds, [key]).map_batches(
-        topk_partition, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True)
+    pruned = ds.map_batches(lambda b: _select_topk(b, False),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    parts = hash_partition(pruned, [key]).map_batches(
+        lambda b: _select_topk(b, True), batch_size=None,
+        batch_format="pyarrow", zero_copy_batch=True)
     batches = [b for b in parts.iter_batches(batch_format="pyarrow")
                if b.num_rows]
     if not batches:
@@ -190,6 +200,74 @@ def mode_by_key(ds: "ray.data.Dataset", key: str, val_col: str,
         _partial, batch_format="pyarrow", zero_copy_batch=True)
     return hash_partition(partials, [key], num_partitions).map_batches(
         _mode, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def first_last_by_key(ds: "ray.data.Dataset", key: str, ts_col: str,
+                      val_col: str, id_col: str,
+                      num_partitions: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Per-key FIRST_VALUE / LAST_VALUE of ``val_col`` ordered by
+    (ts, id) — the aggregate form of::
+
+        SELECT DISTINCT key,
+               first_value(val) OVER w AS first_val,
+               last_value(val)  OVER w AS last_val
+        ... WINDOW w AS (PARTITION BY key ORDER BY ts, id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+
+    Shape: per-batch combiner keeps only each key's two extremal rows
+    (min and max (ts, id)) — the exchange ships <= 2 rows per key per
+    block, never the full input — then ONE hash exchange on the key
+    and the same extremal kernel per partition, emitting (key,
+    first_val, last_val).  No driver state; extremal selection is one
+    lexsort + run slicing, no per-row loop."""
+    sch = ds.schema()
+    key_t = sch.types[sch.names.index(key)]
+    val_t = sch.types[sch.names.index(val_col)]
+    cols = [key, ts_col, id_col, val_col]
+
+    def _extremal_rows(batch: pa.Table) -> pa.Table:
+        """Each key's (ts, id)-min and (ts, id)-max rows (deduped)."""
+        if batch.num_rows == 0:
+            return batch
+        import pyarrow.compute as pc
+        enc = pc.dictionary_encode(batch.column(key)).combine_chunks()
+        kcode = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        ts = batch.column(ts_col).to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        ids = batch.column(id_col).to_numpy()
+        order = np.lexsort((ids, ts, kcode))
+        starts, ends = group_slices([kcode[order]])
+        take = np.unique(np.r_[order[starts], order[ends - 1]])
+        return batch.take(pa.array(take, pa.int64()))
+
+    def _reduce(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key: pa.array([], key_t),
+                             "first_val": pa.array([], val_t),
+                             "last_val": pa.array([], val_t)})
+        import pyarrow.compute as pc
+        enc = pc.dictionary_encode(batch.column(key)).combine_chunks()
+        kcode = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        ts = batch.column(ts_col).to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        ids = batch.column(id_col).to_numpy()
+        order = np.lexsort((ids, ts, kcode))
+        starts, ends = group_slices([kcode[order]])
+        firsts = batch.take(pa.array(order[starts], pa.int64()))
+        lasts = batch.take(pa.array(order[ends - 1], pa.int64()))
+        return pa.table({key: firsts.column(key),
+                         "first_val": firsts.column(val_col),
+                         "last_val": lasts.column(val_col)})
+
+    partials = ds.select_columns(cols).map_batches(
+        _extremal_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_partition(partials, [key], num_partitions).map_batches(
+        _reduce, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True)
 
 
