@@ -261,3 +261,59 @@ def test_profile_numeric_vs_numpy(ray_session):
         [round(x.min(), 6), round(ok.min(), 6)]
     assert got.column("max_v").to_numpy().tolist() == \
         [round(x.max(), 6), round(ok.max(), 6)]
+
+
+def test_quantiles_cont_vs_duckdb(ray_session):
+    from web_search_engine_ray.pipelines.quantiles import \
+        exact_quantiles_cont
+    g = np.random.default_rng(31)
+    vals = np.round(g.normal(100, 40, 3000), 4)
+    tbl = pa.table({"v": pa.array(vals)})
+    qs = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+    got = exact_quantiles_cont(_split_ds(tbl, 8), "v", qs, n_bins=64)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = [con.sql(f"SELECT round(quantile_cont(v, {q}), 6) FROM t")
+            .fetchone()[0] for q in qs]
+    assert got.column("q").to_pylist() == qs
+    assert got.column("value").to_pylist() == want
+
+
+def test_quantiles_cont_single_value(ray_session):
+    from web_search_engine_ray.pipelines.quantiles import \
+        exact_quantiles_cont
+    tbl = pa.table({"v": pa.array([7.25] * 10)})
+    got = exact_quantiles_cont(ray.data.from_arrow(tbl), "v", [0.5])
+    assert got.column("value").to_pylist() == [7.25]
+
+
+def test_vector_cov_vs_numpy(ray_session):
+    from web_search_engine_ray.pipelines.stats import vector_cov
+    g = np.random.default_rng(41)
+    mat = g.normal(0, 1, (400, 5)).astype(np.float32)
+    mat[:, 1] = mat[:, 0] * 0.5 + mat[:, 1] * 0.1    # planted correlation
+    tbl = pa.table({"embedding": pa.array(
+        [list(map(float, r)) for r in mat], pa.list_(pa.float32()))})
+    got = vector_cov(_split_ds(tbl, 6), "embedding", dims=5)
+    want = np.cov(mat.astype(np.float64).T, bias=True)
+    iu, ju = np.triu_indices(5)
+    assert got.column("di").to_pylist() == (iu + 1).tolist()
+    assert got.column("dj").to_pylist() == (ju + 1).tolist()
+    assert np.allclose(got.column("cov").to_numpy(), want[iu, ju],
+                       atol=2e-6)
+
+
+def test_grouped_weighted_mean(ray_session):
+    from web_search_engine_ray.pipelines.stats import grouped_weighted_mean
+    g = np.random.default_rng(43)
+    key = g.choice(["a", "b"], 600)
+    v = g.uniform(0, 10, 600)
+    w = g.uniform(0.5, 2.0, 600)
+    tbl = pa.table({"grp": pa.array(key.tolist()), "v": pa.array(v),
+                    "w": pa.array(w)})
+    got = grouped_weighted_mean(_split_ds(tbl, 5), "grp", "v", "w")
+    for i, k in enumerate(("a", "b")):
+        m = key == k
+        assert abs(got.column("wmean")[i].as_py()
+                   - (v[m] * w[m]).sum() / w[m].sum()) < 1e-6
+        assert got.column("n_pts")[i].as_py() == int(m.sum())

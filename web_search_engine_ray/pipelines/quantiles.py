@@ -196,3 +196,81 @@ def value_histogram(ds: "ray.data.Dataset", col: str, origin: float,
         "lo_edge": pa.array([round(origin + b * width, 6) for b in bins],
                             pa.float64()),
         "n": pa.array([acc[b] for b in bins], pa.int64())})
+
+
+def exact_quantiles_cont(ds: "ray.data.Dataset", col: str,
+                         qs: list[float], n_bins: int = 8192) -> pa.Table:
+    """(q, value) rows — value is the INTERPOLATED quantile (SQL
+    ``quantile_cont`` / ``percentile_cont``): with h = q·(n-1) over the
+    sorted column v, value = v[⌊h⌋] + (h-⌊h⌋)·(v[⌈h⌉] - v[⌊h⌋]).
+
+    Same three streaming passes as :func:`exact_quantiles` (scalar agg,
+    fixed-width histogram, targeted bin fetch) — the fetch pass targets
+    the up-to-two order statistics each q interpolates between, so the
+    driver still sees ≈ n/n_bins values per needed bin, never a sort of
+    the column."""
+    from ray.data.aggregate import Count, Max, Min
+    ds = ds.select_columns([col])
+    agg = ds.aggregate(Count(), Min(col), Max(col))
+    n = int(agg["count()"])
+    qs_sorted = sorted(qs)
+    out_q = pa.array(qs_sorted, pa.float64())
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    mn = float(agg[f"min({col})"])
+    mx = float(agg[f"max({col})"])
+    if mx == mn:
+        return pa.table({"q": out_q,
+                         "value": pa.array([round(mn, 6)] * len(qs_sorted),
+                                           pa.float64())})
+    pos = {q: q * (n - 1) for q in qs_sorted}
+    ranks = sorted({r for p in pos.values()
+                    for r in (int(math.floor(p)), int(math.ceil(p)))})
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy().astype(np.float64)
+        c = np.bincount(_bin_index(v, mn, mx, n_bins), minlength=n_bins)
+        nz = np.flatnonzero(c)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(c[nz], pa.int64())})
+
+    counts = np.zeros(n_bins, np.int64)
+    for b in ds.map_batches(_hist, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        np.add.at(counts, b.column("bin").to_numpy(),
+                  b.column("cnt").to_numpy())
+    cum = np.cumsum(counts)
+    before = cum - counts
+    need_bins: dict[int, list[int]] = {}
+    for r in ranks:
+        b = int(np.searchsorted(cum, r + 1))
+        need_bins.setdefault(b, []).append(r)
+    wanted = np.asarray(sorted(need_bins), np.int64)
+
+    def _fetch(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy().astype(np.float64)
+        idx = _bin_index(v, mn, mx, n_bins)
+        m = np.isin(idx, wanted)
+        return pa.table({col: pa.array(v[m], pa.float64()),
+                         "bin": pa.array(idx[m], pa.int64())})
+
+    got = pa.concat_tables(list(
+        ds.map_batches(_fetch, batch_format="pyarrow",
+                       zero_copy_batch=True).iter_batches(
+                           batch_format="pyarrow")))
+    vals = got.column(col).to_numpy()
+    bins = got.column("bin").to_numpy()
+    stat: dict[int, float] = {}
+    for b, rlist in need_bins.items():
+        inbin = np.sort(vals[bins == b])
+        for r in rlist:
+            stat[r] = float(inbin[r - int(before[b])])
+    out_v = []
+    for q in qs_sorted:
+        h = pos[q]
+        lo, hi = stat[int(math.floor(h))], stat[int(math.ceil(h))]
+        out_v.append(round(lo + (h - math.floor(h)) * (hi - lo), 6))
+    return pa.table({"q": out_q,
+                     "value": pa.array(out_v, pa.float64())})

@@ -1684,6 +1684,85 @@ def events_profile(sf_dir: str) -> pa.Table:
     return profile_numeric(ds, cols)
 
 
+def events_quantiles_cont(sf_dir: str) -> pa.Table:
+    """INTERPOLATED quantiles (SQL quantile_cont) — the percentile_cont
+    counterpart of events_quantiles, via quantiles.exact_quantiles_cont
+    (histogram passes target the two order statistics each q
+    interpolates between; no global sort)."""
+    from web_search_engine_ray.pipelines.quantiles import \
+        exact_quantiles_cont
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    return exact_quantiles_cont(ds, "value",
+                                [0.05, 0.25, 0.5, 0.75, 0.95, 0.99])
+
+
+def emb_cov(sf_dir: str) -> pa.Table:
+    """Streaming Gram-matrix covariance (stats.vector_cov): population
+    covariance of the first 6 embedding dimensions — each batch
+    reduces to one 6x6 X^T X partial."""
+    from web_search_engine_ray.pipelines.stats import vector_cov
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["embedding"])
+    return vector_cov(ds, vec_col="embedding", dims=6)
+
+
+def events_weighted_mean(sf_dir: str) -> pa.Table:
+    """Per-type weighted mean of value weighted by the props-JSON k
+    (stats.grouped_weighted_mean — same moments pass as events_regr)."""
+    import json as _json
+
+    from web_search_engine_ray.pipelines.stats import grouped_weighted_mean
+
+    def _k(batch: pa.Table) -> pa.Table:
+        ks = np.asarray([float(_json.loads(p)["k"]) for p in
+                         batch.column("props").to_pylist()])
+        return pa.table({"event_type": batch.column("event_type"),
+                         "value": batch.column("value"),
+                         "k": pa.array(ks, pa.float64())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value", "props"]).map_batches(
+            _k, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_weighted_mean(ds, key="event_type", val_col="value",
+                                 weight_col="k")
+
+
+def orders_monthly(sf_dir: str) -> pa.Table:
+    """Calendar-month rollup (irregular-width windows — months are not
+    a fixed microsecond multiple, so this is pc.floor_temporal, not the
+    tumbling-window arithmetic): per month order count + revenue sum.
+    Per-batch combiner partials; driver state is |months| rows."""
+    import pyarrow.compute as pc
+
+    def _partial(b: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(b.column("o_orderdate"), unit="month")
+        g = pa.TableGroupBy(pa.table({
+            "month": month, "p": b.column("o_totalprice")}),
+            ["month"]).aggregate([([], "count_all"), ("p", "sum")])
+        return g.rename_columns(["month", "n", "s"])
+
+    acc: dict = {}
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderdate", "o_totalprice"])
+    for b in ds.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for m, n, s in zip(b.column("month").to_pylist(),
+                           b.column("n").to_pylist(),
+                           b.column("s").to_pylist()):
+            a = acc.setdefault(m, [0, 0.0])
+            a[0] += n
+            a[1] += s
+    months = sorted(acc)
+    return pa.table({
+        "month": pa.array(months, pa.timestamp("us")),
+        "n_orders": pa.array([acc[m][0] for m in months], pa.int64()),
+        "revenue": pa.array([round(acc[m][1], 6) for m in months],
+                            pa.float64())})
+
+
 from web_search_engine_ray.functions.textproc import STOPWORDS  # noqa: E402
 from web_search_engine_ray.pipelines.curation import DECONTAM_K  # noqa: E402
 
@@ -2232,6 +2311,33 @@ SELECT "column", count(v)::BIGINT AS n,
        round(avg(v), 6) AS mean, round(stddev_pop(v), 6) AS std,
        round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
 FROM m GROUP BY "column" ORDER BY "column\"""",
+    "events_quantiles_cont": (
+        "SELECT q, value FROM ("
+        + " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q,"
+            f" round(quantile_cont(value, {q}), 6) AS value FROM events"
+            for q in [0.05, 0.25, 0.5, 0.75, 0.95, 0.99])
+        + ") ORDER BY q"),
+    "emb_cov": """
+WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings)
+SELECT CAST(a.i AS BIGINT) AS di, CAST(b.i AS BIGINT) AS dj,
+       round(covar_pop(a.x, b.x), 6) AS cov
+FROM u a JOIN u b USING (vec_id)
+WHERE a.i <= b.i AND a.i <= 6 AND b.i <= 6
+GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_weighted_mean": """
+WITH xy AS (SELECT event_type, value,
+                   CAST(props->>'k' AS DOUBLE) AS k FROM events)
+SELECT event_type, count(*)::BIGINT AS n_pts,
+       round(sum(value * k) / sum(k), 6) AS wmean
+FROM xy GROUP BY event_type ORDER BY event_type""",
+    "orders_monthly": """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 6) AS revenue
+FROM orders GROUP BY 1 ORDER BY 1""",
 }
 
 # The driver's correctness harness runs the FIRST 50 entries of
@@ -2335,4 +2441,8 @@ QUERIES = {
     "events_latest": events_latest,
     "events_daily_active": events_daily_active,
     "events_profile": events_profile,
+    "events_quantiles_cont": events_quantiles_cont,
+    "emb_cov": emb_cov,
+    "events_weighted_mean": events_weighted_mean,
+    "orders_monthly": orders_monthly,
 }

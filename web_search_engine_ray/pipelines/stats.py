@@ -69,3 +69,65 @@ def grouped_linreg(ds: "ray.data.Dataset", key: str, x_col: str,
         "slope": pa.array(rows["slope"], pa.float64()),
         "intercept": pa.array(rows["intercept"], pa.float64()),
         "r2": pa.array(rows["r2"], pa.float64())})
+
+
+def grouped_weighted_mean(ds: "ray.data.Dataset", key: str, val_col: str,
+                          weight_col: str, decimals: int = 6) -> pa.Table:
+    """Per-key weighted mean Σ(v·w)/Σ(w) — the SQL
+    ``sum(v*w)/sum(w)`` — from the same streaming moments pass as
+    grouped_linreg (the Σxy and Σy slots).  Emits (key, n_pts,
+    wmean) sorted by key."""
+    acc = _grouped_moments(ds, key, val_col, weight_col)
+    keys = sorted(acc)
+    return pa.table({
+        key: pa.array(keys),
+        "n_pts": pa.array([int(acc[k][0]) for k in keys], pa.int64()),
+        "wmean": pa.array([round(acc[k][5] / acc[k][2], decimals)
+                           for k in keys], pa.float64())})
+
+
+def vector_cov(ds: "ray.data.Dataset", vec_col: str, dims: int,
+               decimals: int = 6) -> pa.Table:
+    """Upper-triangle POPULATION covariance matrix of the first
+    ``dims`` components of a ``list<float>`` column — the streaming
+    Gram-matrix pass (each batch reduces to one dims x dims X^T X
+    partial + a column-sum vector; driver state is dims² floats).
+    Emits (di, dj, cov) with 1-based di <= dj, sorted."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(vec_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = np.asarray(arr.flatten().to_numpy(zero_copy_only=False),
+                          np.float64)
+        n = batch.num_rows
+        d = len(flat) // n if n else 0
+        if n == 0 or d < dims:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "g": pa.array([], pa.list_(pa.float64()))})
+        x = flat.reshape(n, d)[:, :dims]
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "g": pa.array([(x.T @ x).ravel().tolist()],
+                          pa.list_(pa.float64()))})
+
+    n_tot, s_tot, g_tot = 0, np.zeros(dims), np.zeros(dims * dims)
+    for b in ds.select_columns([vec_col]).map_batches(
+            _partial, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        for n, s, g in zip(b.column("n").to_pylist(),
+                           b.column("s").to_pylist(),
+                           b.column("g").to_pylist()):
+            n_tot += n
+            s_tot += np.asarray(s)
+            g_tot += np.asarray(g)
+    mean = s_tot / n_tot
+    cov = g_tot.reshape(dims, dims) / n_tot - np.outer(mean, mean)
+    iu, ju = np.triu_indices(dims)
+    return pa.table({
+        "di": pa.array((iu + 1).astype(np.int64)),
+        "dj": pa.array((ju + 1).astype(np.int64)),
+        "cov": pa.array(np.round(cov[iu, ju], decimals), pa.float64())})
