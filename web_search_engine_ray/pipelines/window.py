@@ -21,22 +21,15 @@ from web_search_engine_ray.functions.grouping import (group_slices,
                                                       hash_partition)
 
 
-def group_topk(ds: "ray.data.Dataset", key: str, order_col: str,
-               k: int, ascending: bool = False,
-               id_col: str | None = None) -> pa.Table:
-    """Top-k rows per key group, ordered by (order_col desc|asc).
-    Ties broken by ``id_col`` ascending; when not given, the first
-    column that is neither key nor order_col is used (and a ValueError
-    is raised if none exists — pass id_col explicitly for stability
-    across schema changes).
-
-    Shape: a per-BLOCK combiner first prunes each block to its own
-    per-key top-k (any row outside a block's local top-k cannot be in
-    the global top-k for that key), so the hash exchange ships at most
-    k rows per key per block — not the full input; then one vectorized
-    partition pass re-selects and ranks.  Per-group heap size k, never
-    a global sort.
-    """
+def group_topk_ds(ds: "ray.data.Dataset", key: str, order_col: str,
+                  k: int, ascending: bool = False,
+                  id_col: str | None = None) -> "ray.data.Dataset":
+    """Dataset-returning form of :func:`group_topk` — use this when the
+    key cardinality is corpus-scale (e.g. latest-row-per-user
+    compaction over 10^9 users): the k-rows-per-key output stays
+    distributed for ``write_parquet`` / further stages instead of
+    collecting on the driver.  Row order across blocks is undefined
+    (hash-partitioned); each row carries its 1-based ``rank``."""
     schema_names = [n for n in ds.schema().names]
     if id_col is None:
         id_col = next(
@@ -74,9 +67,31 @@ def group_topk(ds: "ray.data.Dataset", key: str, order_col: str,
 
     pruned = ds.map_batches(lambda b: _select_topk(b, False),
                             batch_format="pyarrow", zero_copy_batch=True)
-    parts = hash_partition(pruned, [key]).map_batches(
+    return hash_partition(pruned, [key]).map_batches(
         lambda b: _select_topk(b, True), batch_size=None,
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def group_topk(ds: "ray.data.Dataset", key: str, order_col: str,
+               k: int, ascending: bool = False,
+               id_col: str | None = None) -> pa.Table:
+    """Top-k rows per key group, ordered by (order_col desc|asc),
+    COLLECTED to one sorted driver table — for bounded key
+    cardinalities (per-language, per-nation...); use
+    :func:`group_topk_ds` when keys scale with the corpus.
+    Ties broken by ``id_col`` ascending; when not given, the first
+    column that is neither key nor order_col is used (and a ValueError
+    is raised if none exists — pass id_col explicitly for stability
+    across schema changes).
+
+    Shape: a per-BLOCK combiner first prunes each block to its own
+    per-key top-k (any row outside a block's local top-k cannot be in
+    the global top-k for that key), so the hash exchange ships at most
+    k rows per key per block — not the full input; then one vectorized
+    partition pass re-selects and ranks.  Per-group heap size k, never
+    a global sort.
+    """
+    parts = group_topk_ds(ds, key, order_col, k, ascending, id_col)
     batches = [b for b in parts.iter_batches(batch_format="pyarrow")
                if b.num_rows]
     if not batches:
