@@ -141,7 +141,8 @@ def sf_pipelines(sf_dir: str) -> dict:
     shutil.rmtree(f"/tmp/wse_idx_{key}", ignore_errors=True)
     for name in ("bm25_topk", "doc_lengths", "term_df", "dedup_exact",
                  "dedup_minhash", "dedup_simhash", "knn_cosine",
-                 "quality_score", "lang_id", "media_features"):
+                 "quality_score", "lang_id", "media_features",
+                 "events_latest", "events_retention", "emb_dim_stats"):
         t0 = time.time()
         rq.QUERIES[name](sf_dir)
         out[name] = round(time.time() - t0, 3)

@@ -317,3 +317,32 @@ def test_grouped_weighted_mean(ray_session):
         assert abs(got.column("wmean")[i].as_py()
                    - (v[m] * w[m]).sum() / w[m].sum()) < 1e-6
         assert got.column("n_pts")[i].as_py() == int(m.sum())
+
+
+def test_grouped_quantiles_cont_vs_duckdb(ray_session):
+    from web_search_engine_ray.pipelines.quantiles import \
+        grouped_quantiles_cont
+    tbl = _events(seed=47, n=900, n_keys=7)
+    got = grouped_quantiles_cont(_split_ds(tbl, 6), key="user_id",
+                                 col="value", qs=[0.0, 0.25, 0.5, 1.0])
+    con = duckdb.connect()
+    con.register("ev", tbl)
+    want = con.sql("""
+        SELECT user_id, q, value FROM (
+          SELECT user_id, 0.00::DOUBLE AS q,
+                 round(quantile_cont(value, 0.00), 6) AS value
+          FROM ev GROUP BY user_id
+          UNION ALL SELECT user_id, 0.25,
+                 round(quantile_cont(value, 0.25), 6)
+          FROM ev GROUP BY user_id
+          UNION ALL SELECT user_id, 0.50,
+                 round(quantile_cont(value, 0.50), 6)
+          FROM ev GROUP BY user_id
+          UNION ALL SELECT user_id, 1.00,
+                 round(quantile_cont(value, 1.00), 6)
+          FROM ev GROUP BY user_id)
+        ORDER BY user_id, q""").arrow()
+    assert got.column("value").to_pylist() == \
+        want.column("value").to_pylist()
+    assert got.column("user_id").to_pylist() == \
+        want.column("user_id").to_pylist()

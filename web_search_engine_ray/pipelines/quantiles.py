@@ -156,6 +156,60 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
         .sort_by([(key, "ascending"), ("q", "ascending")])
 
 
+def grouped_quantiles_cont(ds: "ray.data.Dataset", key: str, col: str,
+                           qs: list[float],
+                           num_partitions: int | None = None) -> pa.Table:
+    """(key, q, value) — INTERPOLATED quantile (quantile_cont) per key,
+    sorted (key, q): with h = q·(n-1) inside each key's sorted run,
+    value = v[⌊h⌋] + (h-⌊h⌋)·(v[⌈h⌉] - v[⌊h⌋]).  Same one-exchange
+    shape as :func:`grouped_quantiles`; the gather takes both
+    neighboring order statistics per (key, q) vectorized."""
+    qarr = np.asarray(sorted(qs), np.float64)
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[key]
+
+    def _per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key: pa.array([], key_type),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        import pyarrow.compute as pc
+        enc = pc.dictionary_encode(batch.column(key)).combine_chunks()
+        kcode = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        vals = batch.column(col).to_numpy().astype(np.float64)
+        order = np.lexsort((vals, kcode))
+        kc, vs = kcode[order], vals[order]
+        starts, ends = group_slices([kc])
+        n_g = len(starts)
+        lens = ends - starts
+        h = qarr[None, :] * (lens[:, None] - 1)
+        lo = np.floor(h).astype(np.int64)
+        hi = np.ceil(h).astype(np.int64)
+        frac = h - lo
+        v_lo = vs[(starts[:, None] + lo).ravel()]
+        v_hi = vs[(starts[:, None] + hi).ravel()]
+        out_vals = np.round(v_lo + frac.ravel() * (v_hi - v_lo), 6)
+        out_keys = enc.dictionary.take(
+            pa.array(np.repeat(kc[starts], len(qarr)), pa.int64()))
+        return pa.table({
+            key: out_keys,
+            "q": pa.array(np.tile(qarr, n_g), pa.float64()),
+            "value": pa.array(out_vals, pa.float64())})
+
+    parts = list(
+        hash_partition(ds.select_columns([key, col]), [key],
+                       num_partitions)
+        .map_batches(_per_partition, batch_size=None,
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table({key: pa.array([], key_type),
+                         "q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    return pa.concat_tables(parts, promote_options="default") \
+        .sort_by([(key, "ascending"), ("q", "ascending")])
+
+
 def value_histogram(ds: "ray.data.Dataset", col: str, origin: float,
                     width: float) -> pa.Table:
     """Fixed-width histogram of ``col``: bin = floor((v - origin) /

@@ -1763,6 +1763,17 @@ def orders_monthly(sf_dir: str) -> pa.Table:
                             pa.float64())})
 
 
+def events_quantiles_by_type_cont(sf_dir: str) -> pa.Table:
+    """Per-type INTERPOLATED quantiles (quantiles.grouped_quantiles_cont
+    — one exchange, vectorized two-neighbor gather per (key, q))."""
+    from web_search_engine_ray.pipelines.quantiles import \
+        grouped_quantiles_cont
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    return grouped_quantiles_cont(ds, key="event_type", col="value",
+                                  qs=[0.1, 0.5, 0.9])
+
+
 def part_brand_stats(sf_dir: str) -> pa.Table:
     """Per-brand part stats (completes 10/10 testdata-table coverage):
     count, DISTINCT type count (distinct.count_distinct's pair-keyed
@@ -2383,6 +2394,14 @@ SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
        count(*)::BIGINT AS n_orders,
        round(sum(o_totalprice), 6) AS revenue
 FROM orders GROUP BY 1 ORDER BY 1""",
+    "events_quantiles_by_type_cont": (
+        "SELECT event_type, q, value FROM ("
+        + " UNION ALL ".join(
+            f"SELECT event_type, CAST({q} AS DOUBLE) AS q,"
+            f" round(quantile_cont(value, {q}), 6) AS value"
+            " FROM events GROUP BY event_type"
+            for q in [0.1, 0.5, 0.9])
+        + ") ORDER BY event_type, q"),
     "part_brand_stats": """
 SELECT p_brand, count(*)::BIGINT AS n_parts,
        count(DISTINCT p_type) AS n_types,
@@ -2497,4 +2516,5 @@ QUERIES = {
     "events_weighted_mean": events_weighted_mean,
     "orders_monthly": orders_monthly,
     "part_brand_stats": part_brand_stats,
+    "events_quantiles_by_type_cont": events_quantiles_by_type_cont,
 }
