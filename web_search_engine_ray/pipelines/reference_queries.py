@@ -1774,6 +1774,41 @@ def events_quantiles_by_type_cont(sf_dir: str) -> pa.Table:
                                   qs=[0.1, 0.5, 0.9])
 
 
+def events_type_share(sf_dir: str) -> pa.Table:
+    """Ratio-to-report: each type's share of total events and of total
+    value — the ``n / sum(n) OVER ()`` window idiom as a two-level
+    aggregate (per-batch combiner partials, |types| driver rows, the
+    totals computed FROM the partials — no second pass)."""
+    def _partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["event_type", "value"]),
+                            ["event_type"]).aggregate(
+            [([], "count_all"), ("value", "sum")])
+        return g.rename_columns(["event_type", "n", "s"])
+
+    acc: dict[str, list] = {}
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    for b in ds.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for t, n, s in zip(b.column("event_type").to_pylist(),
+                           b.column("n").to_pylist(),
+                           b.column("s").to_pylist()):
+            a = acc.setdefault(t, [0, 0.0])
+            a[0] += n
+            a[1] += s
+    types = sorted(acc)
+    n_tot = sum(acc[t][0] for t in types)
+    s_tot = sum(acc[t][1] for t in types)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_events": pa.array([acc[t][0] for t in types], pa.int64()),
+        "share_n": pa.array([round(acc[t][0] / n_tot, 6)
+                             for t in types], pa.float64()),
+        "share_value": pa.array([round(acc[t][1] / s_tot, 6)
+                                 for t in types], pa.float64())})
+
+
 def part_brand_stats(sf_dir: str) -> pa.Table:
     """Per-brand part stats (completes 10/10 testdata-table coverage):
     count, DISTINCT type count (distinct.count_distinct's pair-keyed
@@ -2394,6 +2429,11 @@ SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
        count(*)::BIGINT AS n_orders,
        round(sum(o_totalprice), 6) AS revenue
 FROM orders GROUP BY 1 ORDER BY 1""",
+    "events_type_share": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(count(*) / sum(count(*)) OVER (), 6) AS share_n,
+       round(sum(value) / sum(sum(value)) OVER (), 6) AS share_value
+FROM events GROUP BY event_type ORDER BY event_type""",
     "events_quantiles_by_type_cont": (
         "SELECT event_type, q, value FROM ("
         + " UNION ALL ".join(
@@ -2517,4 +2557,5 @@ QUERIES = {
     "orders_monthly": orders_monthly,
     "part_brand_stats": part_brand_stats,
     "events_quantiles_by_type_cont": events_quantiles_by_type_cont,
+    "events_type_share": events_type_share,
 }
