@@ -346,3 +346,22 @@ def test_grouped_quantiles_cont_vs_duckdb(ray_session):
         want.column("value").to_pylist()
     assert got.column("user_id").to_pylist() == \
         want.column("user_id").to_pylist()
+
+
+def test_rolling_mean_range_vs_duckdb(ray_session):
+    from web_search_engine_ray.pipelines.analytic import rolling_mean_range
+    tbl = _events(seed=53, n=1000, n_keys=9)   # has duplicate-ts peers
+    got = _collect(rolling_mean_range(
+        _split_ds(tbl), key="user_id", ts_col="ts", val_col="value",
+        id_col="event_id", interval_us=6 * 3_600_000_000)) \
+        .sort_by("event_id")
+    con = duckdb.connect()
+    con.register("ev", tbl)
+    want = con.sql("""
+        SELECT event_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 6 HOUR PRECEDING
+                     AND CURRENT ROW), 6) AS range_mean
+        FROM ev ORDER BY event_id""").arrow()
+    assert got.column("range_mean").to_pylist() == \
+        want.column("range_mean").to_pylist()

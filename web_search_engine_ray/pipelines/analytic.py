@@ -404,3 +404,59 @@ def string_agg_by_key(ds: "ray.data.Dataset", key: str, val_col: str,
                           num_partitions).map_batches(
         _part, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def rolling_mean_range(ds: "ray.data.Dataset", key: str, ts_col: str,
+                       val_col: str, id_col: str, interval_us: int,
+                       num_partitions: int | None = None
+                       ) -> "ray.data.Dataset":
+    """Per-key TIME-based (RANGE-framed) moving average: for each row,
+    the mean of the key's values with ts in [row.ts - interval,
+    row.ts] — ``AVG(val) OVER (PARTITION BY key ORDER BY ts RANGE
+    BETWEEN interval PRECEDING AND CURRENT ROW)``.  Unlike the
+    ROWS-framed :func:`rolling_mean`, the frame is defined by the
+    TIMESTAMP axis, and equal-ts PEERS are included (SQL RANGE frame
+    semantics) — the frame end is ``searchsorted(ts, row.ts, right)``,
+    not the row's own position.
+
+    Kernel: one prefix-sum per partition; frame bounds via two
+    searchsorted calls per key run (each O(len·log len), vectorized
+    over the run's rows).  Same one-exchange shape and complete-groups
+    contract as the module's other ops."""
+    if interval_us < 0:
+        raise ValueError("interval_us must be >= 0")
+    cols = [id_col, key, ts_col, val_col]
+    sch = ds.schema()
+    key_t = sch.types[sch.names.index(key)]
+    id_t = sch.types[sch.names.index(id_col)]
+
+    def _part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_t),
+                             key: pa.array([], key_t),
+                             "range_mean": pa.array([], pa.float64())})
+        order, starts, ends, ts_raw = _sorted_runs(batch, key, ts_col,
+                                                   id_col)
+        ts = ts_raw[order]
+        vals = batch.column(val_col).to_numpy().astype(np.float64)[order]
+        cum = np.concatenate(([0.0], np.cumsum(vals)))
+        n = len(vals)
+        lo = np.empty(n, np.int64)
+        hi = np.empty(n, np.int64)
+        for s, e in zip(starts, ends):
+            run_ts = ts[s:e]
+            lo[s:e] = s + np.searchsorted(run_ts, run_ts - interval_us,
+                                          side="left")
+            hi[s:e] = s + np.searchsorted(run_ts, run_ts, side="right")
+        wsum = cum[hi] - cum[lo]
+        wn = (hi - lo).astype(np.float64)
+        t = batch.take(pa.array(order, pa.int64()))
+        return pa.table({
+            id_col: t.column(id_col),
+            key: t.column(key),
+            "range_mean": pa.array(np.round(wsum / wn, 6), pa.float64())})
+
+    return hash_partition(ds.select_columns(cols), [key],
+                          num_partitions).map_batches(
+        _part, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)

@@ -1774,6 +1774,19 @@ def events_quantiles_by_type_cont(sf_dir: str) -> pa.Table:
                                   qs=[0.1, 0.5, 0.9])
 
 
+def events_rolling_time(sf_dir: str) -> pa.Table:
+    """TIME-based (RANGE-framed) rolling mean — trailing 1-hour window
+    per user, equal-ts peers included (analytic.rolling_mean_range)."""
+    from web_search_engine_ray.pipelines.analytic import rolling_mean_range
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    out = rolling_mean_range(ds, key="user_id", ts_col="ts",
+                             val_col="value", id_col="event_id",
+                             interval_us=3_600_000_000)
+    return _collect(out).sort_by([("event_id", "ascending")])
+
+
 def events_type_share(sf_dir: str) -> pa.Table:
     """Ratio-to-report: each type's share of total events and of total
     value — the ``n / sum(n) OVER ()`` window idiom as a two-level
@@ -2429,6 +2442,12 @@ SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
        count(*)::BIGINT AS n_orders,
        round(sum(o_totalprice), 6) AS revenue
 FROM orders GROUP BY 1 ORDER BY 1""",
+    "events_rolling_time": """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+             6) AS range_mean
+FROM events ORDER BY event_id""",
     "events_type_share": """
 SELECT event_type, count(*)::BIGINT AS n_events,
        round(count(*) / sum(count(*)) OVER (), 6) AS share_n,
@@ -2558,4 +2577,5 @@ QUERIES = {
     "part_brand_stats": part_brand_stats,
     "events_quantiles_by_type_cont": events_quantiles_by_type_cont,
     "events_type_share": events_type_share,
+    "events_rolling_time": events_rolling_time,
 }
